@@ -1,0 +1,201 @@
+"""Unit tests for the native host sparse core (collisionless map, filters,
+eviction, touched keys, batcher). Mirrors the semantics covered by the
+reference's C++ tests (cuckoo_embedding_hash_table_test.cc, hash_filter tests,
+hopscotch tests)."""
+
+import numpy as np
+import pytest
+
+from monolith_tpu.embedding import Batcher, FilterKind, HostStore, shard_of
+
+
+class TestHostStoreBasics:
+    def test_map_assigns_unique_rows(self):
+        s = HostStore(row_capacity=100)
+        fids = np.array([10, 20, 30, 10, 20], dtype=np.int64)
+        rows, new_rows, new_fids = s.map_train(fids, ts=1)
+        assert rows[0] == rows[3] and rows[1] == rows[4]
+        assert len({rows[0], rows[1], rows[2]}) == 3
+        assert s.size() == 3
+        assert set(new_fids.tolist()) == {10, 20, 30}
+        assert set(new_rows.tolist()) == set(rows[:3].tolist())
+
+    def test_rows_stable_across_calls(self):
+        s = HostStore(row_capacity=100)
+        r1, _, _ = s.map_train(np.array([1, 2, 3], dtype=np.int64), ts=1)
+        r2, new_rows, _ = s.map_train(np.array([3, 2, 1, 4], dtype=np.int64), ts=2)
+        assert r2[0] == r1[2] and r2[1] == r1[1] and r2[2] == r1[0]
+        assert len(new_rows) == 1  # only fid 4 is new
+
+    def test_collisionless_many_ids(self):
+        n = 20000
+        s = HostStore(row_capacity=n)
+        fids = np.random.default_rng(0).choice(2**62, size=n, replace=False).astype(np.int64)
+        rows, _, _ = s.map_train(fids, ts=1)
+        assert rows.min() >= 0
+        assert len(np.unique(rows)) == n  # zero collisions
+        # every id maps back to its row
+        np.testing.assert_array_equal(s.lookup(fids), rows)
+
+    def test_capacity_exhaustion_returns_minus_one(self):
+        s = HostStore(row_capacity=4)
+        rows, _, _ = s.map_train(np.arange(10, dtype=np.int64), ts=1)
+        assert (rows[:4] >= 0).all()
+        assert (rows[4:] == -1).all()
+
+    def test_lookup_missing_is_minus_one(self):
+        s = HostStore(row_capacity=10)
+        s.map_train(np.array([5], dtype=np.int64), ts=1)
+        out = s.lookup(np.array([5, 6], dtype=np.int64))
+        assert out[0] >= 0 and out[1] == -1
+
+
+class TestEviction:
+    def test_expiry_and_row_reuse(self):
+        s = HostStore(row_capacity=10)
+        old, _, _ = s.map_train(np.array([1, 2], dtype=np.int64), ts=100)
+        s.map_train(np.array([3], dtype=np.int64), ts=200)
+        evicted = s.evict_expired(expire_before=150)
+        assert set(evicted.tolist()) == set(old.tolist())
+        assert s.size() == 1
+        assert s.lookup(np.array([1], dtype=np.int64))[0] == -1
+        # freed rows get reused
+        r, _, _ = s.map_train(np.array([7, 8], dtype=np.int64), ts=300)
+        assert set(r.tolist()) <= set(old.tolist())
+
+    def test_touch_refreshes_ts(self):
+        s = HostStore(row_capacity=10)
+        s.map_train(np.array([1], dtype=np.int64), ts=100)
+        s.map_train(np.array([1], dtype=np.int64), ts=200)  # refresh
+        assert s.evict_expired(expire_before=150).size == 0
+        assert s.size() == 1
+
+
+class TestAdmissionFilters:
+    def test_sliding_filter_admits_at_threshold(self):
+        s = HostStore(row_capacity=10, filter_kind=FilterKind.SLIDING,
+                      admit_threshold=3)
+        f = np.array([42], dtype=np.int64)
+        r1, _, _ = s.map_train(f, ts=1)
+        r2, _, _ = s.map_train(f, ts=1)
+        assert r1[0] == -1 and r2[0] == -1
+        r3, new_rows, _ = s.map_train(f, ts=1)
+        assert r3[0] >= 0 and len(new_rows) == 1
+        # once admitted, stays admitted
+        r4, new_rows4, _ = s.map_train(f, ts=2)
+        assert r4[0] == r3[0] and len(new_rows4) == 0
+
+    def test_sliding_filter_counts_per_occurrence_in_batch(self):
+        s = HostStore(row_capacity=10, filter_kind=FilterKind.SLIDING,
+                      admit_threshold=3)
+        # 3 occurrences of the same id within one batch -> admitted at 3rd
+        rows, _, _ = s.map_train(np.array([7, 7, 7], dtype=np.int64), ts=1)
+        assert rows[0] == -1 and rows[1] == -1 and rows[2] >= 0
+
+    def test_filter_estimate_and_save_restore(self):
+        s = HostStore(row_capacity=10, filter_kind=FilterKind.SLIDING,
+                      admit_threshold=10)
+        s.map_train(np.array([9, 9], dtype=np.int64), ts=1)
+        assert s.filter_estimate(9) == 2
+        blob = s.filter_save()
+        assert len(blob) > 0
+        s2 = HostStore(row_capacity=10, filter_kind=FilterKind.SLIDING,
+                       admit_threshold=10)
+        s2.filter_restore(blob)
+        assert s2.filter_estimate(9) == 2
+
+    def test_probabilistic_filter_admission_rate(self):
+        thr = 10
+        s = HostStore(row_capacity=200000, filter_kind=FilterKind.PROBABILISTIC,
+                      admit_threshold=thr, seed=7)
+        n = 50000
+        fids = np.arange(n, dtype=np.int64)
+        rows, _, _ = s.map_train(fids, ts=1)
+        admitted = (rows >= 0).sum()
+        # each new id admitted with p = 1/thr
+        assert abs(admitted / n - 1.0 / thr) < 0.02
+
+    def test_no_filter_admits_everything(self):
+        s = HostStore(row_capacity=10)
+        rows, _, _ = s.map_train(np.array([1], dtype=np.int64), ts=1)
+        assert rows[0] >= 0
+
+
+class TestSaveRestore:
+    def test_roundtrip(self):
+        s = HostStore(row_capacity=50)
+        fids = np.array([11, 22, 33], dtype=np.int64)
+        rows, _, _ = s.map_train(fids, ts=77)
+        dump_fids, dump_rows, dump_ts, dump_counts = s.save()
+        assert set(dump_fids.tolist()) == set(fids.tolist())
+        assert (dump_ts == 77).all()
+
+        s2 = HostStore(row_capacity=50)
+        s2.restore(dump_fids, dump_rows, dump_ts, dump_counts)
+        assert s2.size() == 3
+        np.testing.assert_array_equal(s2.lookup(fids), rows)
+        # new ids after restore don't collide with restored rows
+        r_new, _, _ = s2.map_train(np.array([44], dtype=np.int64), ts=78)
+        assert r_new[0] not in set(dump_rows.tolist())
+
+    def test_restore_rejects_duplicate_rows(self):
+        s = HostStore(row_capacity=50)
+        with pytest.raises(ValueError):
+            s.restore(np.array([1, 2], dtype=np.int64),
+                      np.array([3, 3], dtype=np.int32))
+
+
+class TestTouchedKeys:
+    def test_drain_dedups_and_clears(self):
+        s = HostStore(row_capacity=10)
+        s.map_train(np.array([1, 2], dtype=np.int64), ts=1, record_touch=True)
+        s.map_train(np.array([2, 3], dtype=np.int64), ts=2, record_touch=True)
+        drained = s.drain_touched()
+        assert set(drained.tolist()) == {1, 2, 3}
+        assert s.touched_size() == 0
+
+    def test_untouched_when_flag_off(self):
+        s = HostStore(row_capacity=10)
+        s.map_train(np.array([1], dtype=np.int64), ts=1, record_touch=False)
+        assert s.touched_size() == 0
+
+
+class TestBatcher:
+    def test_dedup_index_roundtrip(self):
+        b = Batcher()
+        vals = np.array([5, 7, 5, -1, 9, 7], dtype=np.int64)
+        unique, index, counts, overflow = b.dedup(vals, num_shards=2, shard_cap=8)
+        assert overflow == 0
+        flat = unique.ravel()
+        for i, v in enumerate(vals):
+            if v == -1:
+                assert index[i] == -1
+            else:
+                assert flat[index[i]] == v
+        assert counts.sum() == 3
+
+    def test_shard_assignment_matches_hash(self):
+        b = Batcher()
+        vals = np.arange(100, dtype=np.int64)
+        unique, _, counts, _ = b.dedup(vals, num_shards=4, shard_cap=64)
+        for s in range(4):
+            for j in range(counts[s]):
+                assert shard_of(int(unique[s, j]), 4) == s
+        assert counts.sum() == 100
+
+    def test_overflow_dropped(self):
+        b = Batcher()
+        vals = np.arange(1000, dtype=np.int64)
+        unique, index, counts, overflow = b.dedup(vals, num_shards=1, shard_cap=10)
+        assert counts[0] == 10
+        assert overflow == 990
+        assert (index == -1).sum() == 990
+
+    def test_reuse_across_steps(self):
+        b = Batcher()
+        for step in range(5):
+            vals = np.arange(step * 10, step * 10 + 30, dtype=np.int64) % 40
+            unique, index, counts, _ = b.dedup(vals, num_shards=2, shard_cap=32)
+            flat = unique.ravel()
+            for i, v in enumerate(vals):
+                assert flat[index[i]] == v
