@@ -1,0 +1,224 @@
+"""The embedding engine: host id-mapping + device row pools, end to end.
+
+This is the TPU-native counterpart of the reference's whole "distributed
+tables" stack (MultiTypeHashTable multi_type_hash_table.py:101,
+DistributedMultiTypeHashTable distributed_ps.py:192 /
+DistributedMultiTypeHashTableMpi distributed_ps_sync.py:69). Instead of
+parameter servers or MPI all-to-all, each step is:
+
+  host (C++):  per table: concat feature fid streams -> dedup -> bucket by
+               shard -> HostStore.map_train per shard  (ref ShardingSparseFidsOp)
+  device(jit): init newly-admitted rows -> gather unique rows per shard ->
+               (sharded mode: all_to_all) -> per-feature gather + pool ->
+               model fwd/bwd -> unique-row grads -> per-segment optimize
+
+The device functions are pure (state in, state out) so the whole train step
+jits as one XLA program; autodiff through the per-feature gather produces the
+scatter-add "grads per unique row" for free, replacing the reference's
+fused_gather_embeddings_by_input(+grad) kernels.
+
+Per-step shapes are static: `unique_cap` unique ids per table shard and
+`new_cap` admissions per shard, with -1 padding. Overflow ids are dropped for
+the step (they read zeros and receive no update) and counted in stats — the
+bucket-capacity + padding strategy from SURVEY §7 hard-part (c).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from monolith_tpu.embedding import table as table_lib
+from monolith_tpu.embedding.host_store import Batcher, FilterKind, HostStore
+from monolith_tpu.embedding.spec import TableSpec
+from monolith_tpu.feature import FeatureConfig, combine
+
+_FILTER_KINDS = {
+    "none": FilterKind.NONE,
+    "sliding": FilterKind.SLIDING,
+    "probabilistic": FilterKind.PROBABILISTIC,
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    num_shards: int = 1
+    unique_cap: int = 4096   # unique ids per table-shard per step
+    new_cap: int = 1024      # admissions per table-shard per step
+    record_touch: bool = False  # track touched fids for online param sync
+
+
+class EmbeddingEngine:
+    """Owns host state (stores/batchers) and builds pure device functions."""
+
+    def __init__(self, tables: Sequence[TableSpec],
+                 features: Sequence[FeatureConfig],
+                 config: EngineConfig = EngineConfig(),
+                 seed: int = 0):
+        self.config = config
+        self.tables: Dict[str, TableSpec] = {t.name: t for t in tables}
+        self.features: Dict[str, FeatureConfig] = {f.name: f for f in features}
+        for f in features:
+            if f.table not in self.tables:
+                raise ValueError(f"feature {f.name} references unknown table {f.table}")
+        self.table_features: Dict[str, List[FeatureConfig]] = {
+            t: [f for f in features if f.table == t] for t in self.tables}
+        S = config.num_shards
+        self.stores: Dict[str, List[HostStore]] = {}
+        self.batchers: Dict[str, Batcher] = {}
+        for name, t in self.tables.items():
+            kind = _FILTER_KINDS[t.admission.kind]
+            self.stores[name] = [
+                HostStore(row_capacity=t.capacity_per_shard,
+                          filter_kind=kind,
+                          admit_threshold=t.admission.threshold,
+                          filter_capacity=t.admission.filter_capacity,
+                          filter_splits=t.admission.filter_splits,
+                          seed=seed * 1000003 + s)
+                for s in range(S)]
+            self.batchers[name] = Batcher(expected_unique=config.unique_cap * S)
+
+    # ------------------------------------------------------------------
+    # host side
+    # ------------------------------------------------------------------
+
+    def prepare_batch(self, fid_batch: Dict[str, np.ndarray], ts: int
+                      ) -> Tuple[Dict, Dict]:
+        """Map a batch of per-feature fid matrices to device inputs.
+
+        fid_batch: {feature_name: int64 [B, max_length], padding fid == -1}.
+        Returns (device_inputs, stats). device_inputs is a pytree:
+          {table: {"rows": [S, Ucap] i32, "new_rows": [S, Kcap] i32,
+                   "index": {feature: [B, L] i32 into flat [S*Ucap]}}}
+        """
+        cfg = self.config
+        S, U, K = cfg.num_shards, cfg.unique_cap, cfg.new_cap
+        inputs, stats = {}, {"overflow": {}, "new": {}, "unique": {}, "filtered": {}}
+        for tname, feats in self.table_features.items():
+            if not feats:
+                continue
+            streams = [np.ascontiguousarray(fid_batch[f.name], dtype=np.int64)
+                       for f in feats]
+            flat = np.concatenate([s.ravel() for s in streams])
+            unique, index, counts, overflow = self.batchers[tname].dedup(
+                flat, num_shards=S, shard_cap=U)
+            rows = np.full((S, U), -1, dtype=np.int32)
+            new_rows = np.full((S, K), -1, dtype=np.int32)
+            n_new = 0
+            for s in range(S):
+                c = int(counts[s])
+                if c == 0:
+                    continue
+                r, nr, _ = self.stores[tname][s].map_train(
+                    unique[s, :c], ts=ts, new_cap=K,
+                    record_touch=cfg.record_touch)
+                rows[s, :c] = r
+                new_rows[s, :len(nr)] = nr
+                n_new += len(nr)
+            idx_per_feature = {}
+            off = 0
+            for f, stream in zip(feats, streams):
+                n = stream.size
+                idx_per_feature[f.name] = index[off:off + n].reshape(stream.shape)
+                off += n
+            inputs[tname] = {"rows": rows, "new_rows": new_rows,
+                             "index": idx_per_feature}
+            stats["overflow"][tname] = overflow
+            stats["new"][tname] = n_new
+            stats["unique"][tname] = int(counts.sum())
+            stats["filtered"][tname] = int((rows == -1).sum()) - (S * U - int(counts.sum()))
+        return inputs, stats
+
+    def evict_expired(self, expire_before: int) -> Dict[str, np.ndarray]:
+        """Run expiry eviction on every table shard; returns freed rows per
+        table (shard-flattened device row indices, for optional zeroing)."""
+        out = {}
+        for tname, t in self.tables.items():
+            if t.eviction.ttl_seconds <= 0:
+                continue
+            freed = []
+            for s, store in enumerate(self.stores[tname]):
+                rows = store.evict_expired(expire_before)
+                freed.append(rows.astype(np.int64) + s * t.capacity_per_shard)
+            out[tname] = np.concatenate(freed) if freed else np.empty(0, np.int64)
+        return out
+
+    # ------------------------------------------------------------------
+    # device side (pure functions of state + inputs)
+    # ------------------------------------------------------------------
+
+    def create_states(self) -> Dict[str, table_lib.TableState]:
+        """Per-table pools with a leading shard axis [S, cap, ...]."""
+        S = self.config.num_shards
+
+        def stack(spec):
+            st = table_lib.create_state(spec)
+            return jax.tree.map(lambda x: jnp.broadcast_to(x, (S,) + x.shape), st)
+
+        return {name: stack(spec) for name, spec in self.tables.items()}
+
+    def admit_rows(self, states: Dict, inputs: Dict, key: jax.Array) -> Dict:
+        """Initialize newly-admitted rows on device (vmapped over shards)."""
+        out = dict(states)
+        for i, (tname, tin) in enumerate(sorted(inputs.items())):
+            spec = self.tables[tname]
+            tkey = jax.random.fold_in(key, i)
+            skeys = jax.random.split(tkey, self.config.num_shards)
+            out[tname] = jax.vmap(
+                lambda st, rows, k: table_lib.init_rows(spec, st, rows, k)
+            )(states[tname], jnp.asarray(tin["new_rows"]), skeys)
+        return out
+
+    def lookup_unique(self, states: Dict, inputs: Dict) -> Dict[str, jnp.ndarray]:
+        """Gather each table's unique rows: {table: [S*Ucap, dim] f32}."""
+        out = {}
+        for tname, tin in inputs.items():
+            spec = self.tables[tname]
+            emb = jax.vmap(lambda st, rows: table_lib.lookup(spec, st, rows)
+                           )(states[tname], jnp.asarray(tin["rows"]))
+            out[tname] = emb.reshape(-1, spec.dim)
+        return out
+
+    def pool_features(self, unique_embs: Dict[str, jnp.ndarray],
+                      inputs: Dict) -> Dict[str, jnp.ndarray]:
+        """Per-feature gather + combine from the unique buffers.
+
+        Differentiable wrt unique_embs (autodiff yields per-unique-row summed
+        gradients — the reference's fused_gather_embeddings_by_input_gradient)."""
+        pooled = {}
+        for tname, tin in inputs.items():
+            buf = unique_embs[tname]
+            n = buf.shape[0]
+            for fname, idx in tin["index"].items():
+                f = self.features[fname]
+                idx = jnp.asarray(idx)
+                safe = jnp.where(idx < 0, jnp.int32(n), idx.astype(jnp.int32))
+                emb = buf.at[safe].get(mode="fill", fill_value=0)  # [B, L, D]
+                pooled[fname] = combine(emb, idx >= 0, f.combiner)
+        return pooled
+
+    def apply_gradients(self, states: Dict, inputs: Dict,
+                        unique_grads: Dict[str, jnp.ndarray],
+                        step: jnp.ndarray) -> Dict:
+        """Per-segment optimize of each table's touched rows."""
+        out = dict(states)
+        for tname, tin in inputs.items():
+            spec = self.tables[tname]
+            g = unique_grads[tname].reshape(
+                self.config.num_shards, self.config.unique_cap, spec.dim)
+            out[tname] = jax.vmap(
+                lambda st, rows, gg: table_lib.apply_gradients(spec, st, rows, gg, step)
+            )(states[tname], jnp.asarray(tin["rows"]), g)
+        return out
+
+    # convenience: full differentiable embed step ----------------------
+
+    def embed(self, states: Dict, inputs: Dict) -> Tuple[Dict[str, jnp.ndarray],
+                                                         Dict[str, jnp.ndarray]]:
+        """lookup + pool; returns (pooled features, unique buffers)."""
+        unique = self.lookup_unique(states, inputs)
+        return self.pool_features(unique, inputs), unique

@@ -1,0 +1,170 @@
+"""End-to-end embedding-engine tests: host prepare -> device embed ->
+autodiff grads -> per-row optimize, on a single device."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from monolith_tpu.embedding import initializers, optimizers
+from monolith_tpu.embedding.engine import EmbeddingEngine, EngineConfig
+from monolith_tpu.embedding.spec import (AdmissionConfig, EvictionConfig,
+                                         TableSegment, TableSpec)
+from monolith_tpu.feature import FeatureConfig
+
+
+def make_engine(combiner="sum", admission=None, num_shards=1, dim=4):
+    tables = [TableSpec(
+        name="user", capacity_per_shard=256,
+        segments=(TableSegment(dim=dim,
+                               optimizer=optimizers.SGD(learning_rate=0.5),
+                               initializer=initializers.Constants(1.0)),),
+        admission=admission or AdmissionConfig(),
+        eviction=EvictionConfig(ttl_seconds=3600))]
+    features = [FeatureConfig(name="uid", table="user", max_length=3,
+                              combiner=combiner)]
+    return EmbeddingEngine(tables, features,
+                           EngineConfig(num_shards=num_shards, unique_cap=64,
+                                        new_cap=32))
+
+
+class TestPrepareBatch:
+    def test_shapes_and_index_validity(self):
+        eng = make_engine()
+        fids = np.array([[1, 2, -1], [2, 3, 3]], dtype=np.int64)
+        inputs, stats = eng.prepare_batch({"uid": fids}, ts=1)
+        tin = inputs["user"]
+        assert tin["rows"].shape == (1, 64)
+        assert tin["new_rows"].shape == (1, 32)
+        assert tin["index"]["uid"].shape == (2, 3)
+        assert stats["unique"]["user"] == 3
+        assert stats["new"]["user"] == 3
+        # padding -> -1 index
+        assert tin["index"]["uid"][0, 2] == -1
+
+    def test_dedup_same_id_same_slot(self):
+        eng = make_engine()
+        fids = np.array([[7, 7, 7]], dtype=np.int64)
+        inputs, stats = eng.prepare_batch({"uid": fids}, ts=1)
+        idx = inputs["user"]["index"]["uid"][0]
+        assert idx[0] == idx[1] == idx[2] >= 0
+        assert stats["unique"]["user"] == 1
+
+
+class TestEmbedForward:
+    def test_sum_and_mean_pooling(self):
+        for combiner, expect in [("sum", 2.0), ("mean", 1.0)]:
+            eng = make_engine(combiner=combiner)
+            states = eng.create_states()
+            fids = np.array([[1, 2, -1]], dtype=np.int64)
+            inputs, _ = eng.prepare_batch({"uid": fids}, ts=1)
+            states = eng.admit_rows(states, inputs, jax.random.PRNGKey(0))
+            pooled, _ = eng.embed(states, inputs)
+            np.testing.assert_allclose(np.asarray(pooled["uid"]),
+                                       expect, rtol=1e-6)
+
+    def test_firstn_returns_sequence(self):
+        eng = make_engine(combiner="firstn")
+        states = eng.create_states()
+        fids = np.array([[5, -1, -1]], dtype=np.int64)
+        inputs, _ = eng.prepare_batch({"uid": fids}, ts=1)
+        states = eng.admit_rows(states, inputs, jax.random.PRNGKey(0))
+        pooled, _ = eng.embed(states, inputs)
+        assert pooled["uid"].shape == (1, 3, 4)
+        np.testing.assert_allclose(np.asarray(pooled["uid"][0, 0]), 1.0)
+        np.testing.assert_allclose(np.asarray(pooled["uid"][0, 1:]), 0.0)
+
+    def test_filtered_ids_read_zero(self):
+        eng = make_engine(admission=AdmissionConfig(kind="sliding", threshold=5))
+        states = eng.create_states()
+        fids = np.array([[9, -1, -1]], dtype=np.int64)
+        inputs, _ = eng.prepare_batch({"uid": fids}, ts=1)
+        states = eng.admit_rows(states, inputs, jax.random.PRNGKey(0))
+        pooled, _ = eng.embed(states, inputs)
+        np.testing.assert_allclose(np.asarray(pooled["uid"]), 0.0)
+
+
+class TestTrainLoop:
+    def test_gradients_flow_and_update(self):
+        eng = make_engine()
+        states = eng.create_states()
+        fids = np.array([[1, -1, -1]], dtype=np.int64)
+        inputs, _ = eng.prepare_batch({"uid": fids}, ts=1)
+        states = eng.admit_rows(states, inputs, jax.random.PRNGKey(0))
+
+        def loss_fn(unique, inputs):
+            pooled = eng.pool_features(unique, inputs)
+            return jnp.sum(pooled["uid"] ** 2)
+
+        unique = eng.lookup_unique(states, inputs)
+        g = jax.grad(loss_fn)(unique, inputs)
+        states = eng.apply_gradients(states, inputs, g, jnp.int32(0))
+        # row had value 1 (dim 4): d/dx sum(x^2)=2x=2; sgd lr .5 -> 1-1=0
+        pooled, _ = eng.embed(states, inputs)
+        np.testing.assert_allclose(np.asarray(pooled["uid"]), 0.0, atol=1e-6)
+
+    def test_duplicate_id_grads_sum(self):
+        eng = make_engine()
+        states = eng.create_states()
+        fids = np.array([[3, 3, -1]], dtype=np.int64)
+        inputs, _ = eng.prepare_batch({"uid": fids}, ts=1)
+        states = eng.admit_rows(states, inputs, jax.random.PRNGKey(0))
+
+        def loss_fn(unique, inputs):
+            pooled = eng.pool_features(unique, inputs)  # sum: 2*e
+            return jnp.sum(pooled["uid"])  # grad wrt e = 2
+
+        unique = eng.lookup_unique(states, inputs)
+        g = jax.grad(loss_fn)(unique, inputs)
+        row_idx = int(inputs["user"]["index"]["uid"][0, 0])
+        np.testing.assert_allclose(np.asarray(g["user"][row_idx]), 2.0)
+
+    def test_jitted_multi_step_converges(self):
+        eng = make_engine()
+        states = eng.create_states()
+        target = 0.7
+
+        @jax.jit
+        def step(states, inputs, key, stepno):
+            states = eng.admit_rows(states, inputs, key)
+
+            def loss_fn(unique):
+                pooled = eng.pool_features(unique, inputs)
+                pred = jnp.mean(pooled["uid"], axis=-1)
+                return jnp.mean((pred - target) ** 2)
+
+            unique = eng.lookup_unique(states, inputs)
+            loss, g = jax.value_and_grad(loss_fn)(unique)
+            states = eng.apply_gradients(states, inputs, g, stepno)
+            return states, loss
+
+        rng = np.random.default_rng(0)
+        losses = []
+        for i in range(30):
+            fids = rng.integers(1, 20, size=(8, 3)).astype(np.int64)
+            inputs, _ = eng.prepare_batch({"uid": fids}, ts=i)
+            states, loss = step(states, inputs, jax.random.PRNGKey(i), jnp.int32(i))
+            losses.append(float(loss))
+        assert losses[-1] < losses[0] * 0.1
+
+    def test_eviction_roundtrip(self):
+        eng = make_engine()
+        states = eng.create_states()
+        fids = np.array([[1, 2, 3]], dtype=np.int64)
+        inputs, _ = eng.prepare_batch({"uid": fids}, ts=100)
+        states = eng.admit_rows(states, inputs, jax.random.PRNGKey(0))
+        freed = eng.evict_expired(expire_before=200)
+        assert len(freed["user"]) == 3
+        assert eng.stores["user"][0].size() == 0
+
+
+class TestMultiShardHost:
+    def test_prepare_with_4_shards(self):
+        eng = make_engine(num_shards=4)
+        states = eng.create_states()
+        fids = np.arange(1, 25, dtype=np.int64).reshape(8, 3)
+        inputs, stats = eng.prepare_batch({"uid": fids}, ts=1)
+        assert inputs["user"]["rows"].shape == (4, 64)
+        assert stats["unique"]["user"] == 24
+        states = eng.admit_rows(states, inputs, jax.random.PRNGKey(0))
+        pooled, _ = eng.embed(states, inputs)
+        np.testing.assert_allclose(np.asarray(pooled["uid"]), 3.0, rtol=1e-6)
