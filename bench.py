@@ -1,0 +1,59 @@
+"""Benchmark: DeepFM CTR training throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no benchmark numbers (BASELINE.md); vs_baseline is
+measured against a nominal 100k examples/sec/chip target for this model size
+(batch 4096, 3 sparse features, 17-dim rows, 256-128-64 dense tower) so the
+number is comparable across rounds.
+"""
+
+import json
+import time
+
+import numpy as np
+
+NOMINAL_BASELINE_EPS = 100_000.0  # examples/sec nominal target
+
+
+def main():
+    from monolith_tpu.data.synthetic import SyntheticCTR
+    from monolith_tpu.embedding.engine import EngineConfig
+    from monolith_tpu.models.deepfm import DeepFMTask
+    from monolith_tpu.training.trainer import Trainer, TrainerConfig
+
+    batch_size = 4096
+    task = DeepFMTask(embedding_dim=16, capacity_per_shard=1 << 21,
+                      hidden=(256, 128, 64))
+    trainer = Trainer(task, TrainerConfig(
+        engine=EngineConfig(num_shards=1, unique_cap=16384, new_cap=16384),
+        log_every=0, metrics_enabled=False))
+    data = SyntheticCTR(num_users=1_000_000, num_items=200_000,
+                        batch_size=batch_size, seed=0)
+    it = iter(data)
+
+    # warmup (compile + table fill)
+    for _ in range(5):
+        fb, b = next(it)
+        trainer.train_step(fb, b)
+
+    n_steps = 30
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        fb, b = next(it)
+        out = trainer.train_step(fb, b)
+    # force completion of the async dispatch chain
+    _ = float(out["loss"])
+    dt = time.perf_counter() - t0
+
+    eps = n_steps * batch_size / dt
+    print(json.dumps({
+        "metric": "deepfm_train_examples_per_sec",
+        "value": round(eps, 1),
+        "unit": "examples/s",
+        "vs_baseline": round(eps / NOMINAL_BASELINE_EPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

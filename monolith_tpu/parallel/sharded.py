@@ -1,0 +1,230 @@
+"""Multi-device sharded trainer: SPMD embedding + data-parallel dense tower.
+
+TPU-native rebuild of the reference's sync training mode
+(DistributedMultiTypeHashTableMpi distributed_ps_sync.py:69 and
+distributed_sync_train cpu_training.py:2160). Mapping of the reference's
+3-alltoall step (SURVEY §3.3) onto XLA collectives over a 1-axis mesh "d":
+
+  reference                          here
+  ---------                          ----
+  fid alltoall (a2a#1)               host batcher buckets ids by shard and
+                                     feeds each device its shard's rows
+                                     directly (ids never cross devices)
+  local fused_lookup                 per-device gather from its pool shard
+  embedding alltoall (a2a#2)         jax.lax.all_gather of the per-shard
+                                     unique embeddings over "d"
+  fused_gather_embeddings_by_input   per-feature gather+pool on the local
+                                     batch shard (autodiff'd)
+  grad alltoall (a2a#3)              jax.lax.psum_scatter of unique-row grads
+  local fused_apply_gradient         per-device per-segment optimize
+  hvd allreduce (dense)              jax.lax.pmean of dense grads
+
+all_gather/psum_scatter (rather than pairwise a2a of per-destination buckets)
+trades bandwidth for simplicity: each step moves S*U*D floats per device both
+ways over ICI. A2A bucketing is a planned optimization (needs per-(src,dst)
+bucket capacities from the host batcher).
+
+Embedding tables are row-sharded over "d": state arrays [S, cap, ...] with
+sharding P("d"). The dense tower and optimizer state are replicated; the
+batch (feature index matrices + labels) is sharded on the batch axis.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from monolith_tpu.ops.clip import clip_by_global_norm
+from monolith_tpu.training.task import RecTask
+from monolith_tpu.training.trainer import Trainer, TrainerConfig
+from monolith_tpu.embedding import table as table_lib
+
+
+class ShardedTrainer(Trainer):
+    """Trainer whose step runs under shard_map over a 1-axis mesh.
+
+    Requires config.engine.num_shards == mesh size; the host engine already
+    produces per-shard row buffers, so only the device step changes."""
+
+    def __init__(self, task: RecTask, config: TrainerConfig, mesh: Mesh):
+        super().__init__(task, config)
+        self.mesh = mesh
+        self.axis = mesh.axis_names[0]
+        n = mesh.devices.size
+        if config.engine.num_shards != n:
+            raise ValueError(
+                f"engine.num_shards ({config.engine.num_shards}) must equal "
+                f"mesh size ({n})")
+        # place table pools sharded over the mesh
+        shard = NamedSharding(mesh, P(self.axis))
+        self.table_states = jax.tree.map(
+            lambda x: jax.device_put(x, shard), self.table_states)
+
+    # -- sharding specs ------------------------------------------------
+
+    def _input_specs(self):
+        """inputs pytree: rows/new_rows [S, ...] -> P('d'); index [B, L] -> P('d')."""
+        ax = self.axis
+        return {
+            t: {"rows": P(ax), "new_rows": P(ax),
+                "index": {f: P(ax) for f in tin["index"]}}
+            for t, tin in self._input_template.items()}
+
+    def _build_step(self):
+        engine, module, task, cfg = self.engine, self.module, self.task, self.config
+        ax = self.axis
+        mesh = self.mesh
+        n = mesh.devices.size
+        specs = {t: engine.tables[t] for t in engine.tables}
+        U = cfg.engine.unique_cap
+
+        def local_step(table_states, params, opt_state, inputs, batch, key, stepno):
+            # Everything here is per-device: table_states arrays [1, cap, ...],
+            # inputs rows [1, U], index/batch sharded on batch axis.
+            my = jax.lax.axis_index(ax)
+            key = jax.random.fold_in(key, my)
+
+            # admit new rows into the local shard
+            new_states = {}
+            for tname, tin in inputs.items():
+                spec = specs[tname]
+                st = jax.tree.map(lambda x: x[0], table_states[tname])
+                st = table_lib.init_rows(spec, st, tin["new_rows"][0], key)
+                new_states[tname] = st
+
+            # local lookup + all_gather (fwd "alltoall")
+            gathered = {}
+            for tname, tin in inputs.items():
+                spec = specs[tname]
+                emb_local = table_lib.lookup(spec, new_states[tname], tin["rows"][0])
+                emb_all = jax.lax.all_gather(emb_local, ax)  # [S, U, D]
+                gathered[tname] = emb_all.reshape(n * U, spec.dim)
+
+            def loss_fn(params, gathered):
+                pooled = {}
+                for tname, tin in inputs.items():
+                    buf = gathered[tname]
+                    nn_ = buf.shape[0]
+                    for fname, idx in tin["index"].items():
+                        f = engine.features[fname]
+                        safe = jnp.where(idx < 0, jnp.int32(nn_), idx.astype(jnp.int32))
+                        emb = buf.at[safe].get(mode="fill", fill_value=0)
+                        from monolith_tpu.feature import combine
+                        pooled[fname] = combine(emb, idx >= 0, f.combiner)
+                out = module.apply(params, pooled, batch, training=True)
+                loss, aux = task.loss(out, batch)
+                return loss, (out, aux)
+
+            (loss, (out, aux)), (gp, gemb) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True)(params, gathered)
+
+            # dense: data-parallel mean of local-mean grads == global mean
+            gp = jax.lax.pmean(gp, ax)
+            loss = jax.lax.pmean(loss, ax)
+            if cfg.clip_norm > 0:
+                gp, _ = clip_by_global_norm(gp, cfg.clip_norm)
+            updates, opt_state = self.tx.update(gp, opt_state, params)
+            params = optax.apply_updates(params, updates)
+
+            # sparse: reduce-scatter grads back to owning shards (bwd "alltoall");
+            # divide by n to match global-mean loss semantics
+            out_states = {}
+            for tname, tin in inputs.items():
+                spec = specs[tname]
+                g_all = gemb[tname].reshape(n, U, spec.dim)
+                g_local = jax.lax.psum_scatter(g_all, ax, scatter_dimension=0,
+                                               tiled=False) / n
+                st = table_lib.apply_gradients(spec, new_states[tname],
+                                               tin["rows"][0], g_local, stepno)
+                out_states[tname] = jax.tree.map(lambda x: x[None], st)
+
+            preds = task.predictions(out)
+            return out_states, params, opt_state, loss, preds, aux
+
+        state_specs = jax.tree.map(lambda _: P(ax), self.table_states,
+                                   is_leaf=lambda x: hasattr(x, "shape"))
+        in_specs = (state_specs, P(), P(), self._input_specs_pytree(), P(ax), P(), P())
+        out_specs = (state_specs, P(), P(), P(), P(ax), P())
+
+        fn = jax.shard_map(local_step, mesh=mesh, in_specs=in_specs,
+                           out_specs=out_specs, check_vma=False)
+        return jax.jit(fn, donate_argnums=(0, 1, 2))
+
+    def _input_specs_pytree(self):
+        ax = self.axis
+        return jax.tree.map(lambda _: P(ax), self._input_template,
+                            is_leaf=lambda x: hasattr(x, "shape"))
+
+    def _build_eval(self):
+        engine, module, task = self.engine, self.module, self.task
+        ax, mesh, n = self.axis, self.mesh, self.mesh.devices.size
+        specs = {t: engine.tables[t] for t in engine.tables}
+        U = self.config.engine.unique_cap
+
+        def local_eval(table_states, params, inputs, batch):
+            pooled = {}
+            for tname, tin in inputs.items():
+                spec = specs[tname]
+                st = jax.tree.map(lambda x: x[0], table_states[tname])
+                emb_local = table_lib.lookup(spec, st, tin["rows"][0])
+                buf = jax.lax.all_gather(emb_local, ax).reshape(n * U, spec.dim)
+                for fname, idx in tin["index"].items():
+                    f = engine.features[fname]
+                    safe = jnp.where(idx < 0, jnp.int32(buf.shape[0]), idx.astype(jnp.int32))
+                    emb = buf.at[safe].get(mode="fill", fill_value=0)
+                    from monolith_tpu.feature import combine
+                    pooled[fname] = combine(emb, idx >= 0, f.combiner)
+            out = module.apply(params, pooled, batch, training=False)
+            loss, aux = task.loss(out, batch)
+            return jax.lax.pmean(loss, ax), task.predictions(out), aux
+
+        state_specs = jax.tree.map(lambda _: P(ax), self.table_states,
+                                   is_leaf=lambda x: hasattr(x, "shape"))
+        fn = jax.shard_map(local_eval, mesh=mesh,
+                           in_specs=(state_specs, P(), self._input_specs_pytree(), P(ax)),
+                           out_specs=(P(), P(ax), P()), check_vma=False)
+        return jax.jit(fn)
+
+    # -- host plumbing --------------------------------------------------
+
+    def train_step(self, fid_batch, batch, ts: Optional[int] = None):
+        ts = int(time.time()) if ts is None else ts
+        inputs, stats = self.engine.prepare_batch(fid_batch, ts=ts)
+        self._input_template = inputs
+        self._maybe_init(inputs, batch)
+        if self._jit_step is None:
+            self._jit_step = self._build_step()
+        key = jax.random.fold_in(jax.random.PRNGKey(self.config.seed), self.step)
+        batch_j = {k: jnp.asarray(v) for k, v in batch.items()}
+        (self.table_states, self.params, self.opt_state, loss, preds, aux
+         ) = self._jit_step(self.table_states, self.params, self.opt_state,
+                            inputs, batch_j, key, jnp.int32(self.step))
+        self.step += 1
+        if self.config.metrics_enabled and "label" in batch:
+            self.auc.update(np.asarray(preds), batch["label"])
+            self.loss_mean.update(float(loss))
+        return {"loss": loss, "preds": preds, "stats": stats, "aux": aux}
+
+    def evaluate(self, data, max_steps=None):
+        from monolith_tpu.metrics import StreamingAUC, StreamingMean
+        auc, loss_mean = StreamingAUC(), StreamingMean()
+        for i, (fid_batch, batch) in enumerate(data):
+            if max_steps is not None and i >= max_steps:
+                break
+            inputs, _ = self.engine.prepare_batch(fid_batch, ts=0)
+            self._input_template = inputs
+            self._maybe_init(inputs, batch)
+            if self._jit_eval is None:
+                self._jit_eval = self._build_eval()
+            batch_j = {k: jnp.asarray(v) for k, v in batch.items()}
+            loss, preds, _ = self._jit_eval(self.table_states, self.params,
+                                            inputs, batch_j)
+            auc.update(np.asarray(preds), batch["label"])
+            loss_mean.update(float(loss))
+        return {"auc": auc.result(), "loss": loss_mean.result()}

@@ -1,0 +1,166 @@
+"""Single-host trainer: the `local_train` equivalent.
+
+TPU-native rebuild of the reference's orchestration layer (CpuTraining
+cpu_training.py:587, local_train :2420). The per-step pipeline is:
+
+  host:   parse batch -> EmbeddingEngine.prepare_batch (C++ dedup/shard/map)
+  device: ONE jitted program = admit new rows -> lookup unique -> pool ->
+          dense fwd/bwd -> dense optax update (+ global-norm clip,
+          ref feature_utils.py:120) -> per-row sparse optimize
+
+Asynchrony: while the device executes step N (JAX dispatch is async), the
+host prepares step N+1 — the TPU analogue of the reference's prefetch-queue
+software pipeline (prefetch_queue.py:291).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from monolith_tpu.embedding.engine import EmbeddingEngine, EngineConfig
+from monolith_tpu.metrics import StreamingAUC, StreamingMean
+from monolith_tpu.ops.clip import clip_by_global_norm
+from monolith_tpu.training.task import RecTask
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    engine: EngineConfig = dataclasses.field(default_factory=EngineConfig)
+    clip_norm: float = 0.0          # 0 = no dense grad clipping
+    seed: int = 0
+    log_every: int = 100
+    metrics_enabled: bool = True
+
+
+class Trainer:
+    """Owns engine host state, dense params/opt state, and the jitted step."""
+
+    def __init__(self, task: RecTask, config: TrainerConfig = TrainerConfig()):
+        self.task = task
+        self.config = config
+        self.engine = EmbeddingEngine(task.tables(), task.features(),
+                                      config.engine, seed=config.seed)
+        self.module = task.build_module()
+        self.tx = task.dense_optimizer()
+        self.table_states = self.engine.create_states()
+        self.params = None
+        self.opt_state = None
+        self.step = 0
+        self._jit_step = None
+        self._jit_eval = None
+        self.auc = StreamingAUC()
+        self.loss_mean = StreamingMean()
+
+    # ------------------------------------------------------------------
+
+    def _maybe_init(self, inputs, batch):
+        if self.params is not None:
+            return
+        key = jax.random.PRNGKey(self.config.seed)
+        pooled, _ = self.engine.embed(self.table_states, inputs)
+        self.params = self.module.init(key, pooled, batch, training=True)
+        self.opt_state = self.tx.init(self.params)
+
+    def _build_step(self):
+        engine, module, task, cfg = self.engine, self.module, self.task, self.config
+
+        def step_fn(table_states, params, opt_state, inputs, batch, key, stepno):
+            table_states = engine.admit_rows(table_states, inputs, key)
+            unique = engine.lookup_unique(table_states, inputs)
+
+            def loss_fn(params, unique):
+                pooled = engine.pool_features(unique, inputs)
+                out = module.apply(params, pooled, batch, training=True)
+                loss, aux = task.loss(out, batch)
+                return loss, (out, aux)
+
+            (loss, (out, aux)), (gp, gu) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True)(params, unique)
+            if cfg.clip_norm > 0:
+                gp, _ = clip_by_global_norm(gp, cfg.clip_norm)
+            updates, opt_state = self.tx.update(gp, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            table_states = engine.apply_gradients(table_states, inputs, gu, stepno)
+            preds = task.predictions(out)
+            return table_states, params, opt_state, loss, preds, aux
+
+        return jax.jit(step_fn, donate_argnums=(0, 1, 2))
+
+    def _build_eval(self):
+        engine, module, task = self.engine, self.module, self.task
+
+        def eval_fn(table_states, params, inputs, batch):
+            pooled, _ = engine.embed(table_states, inputs)
+            out = module.apply(params, pooled, batch, training=False)
+            loss, aux = task.loss(out, batch)
+            return loss, task.predictions(out), aux
+
+        return jax.jit(eval_fn)
+
+    # ------------------------------------------------------------------
+
+    def train_step(self, fid_batch: Dict[str, np.ndarray],
+                   batch: Dict[str, np.ndarray],
+                   ts: Optional[int] = None) -> Dict[str, np.ndarray]:
+        """Run one training step. fid_batch: {feature: int64 [B, L] pad -1};
+        batch: dense-side arrays incl. "label"."""
+        ts = int(time.time()) if ts is None else ts
+        inputs, stats = self.engine.prepare_batch(fid_batch, ts=ts)
+        self._maybe_init(inputs, batch)
+        if self._jit_step is None:
+            self._jit_step = self._build_step()
+        key = jax.random.fold_in(jax.random.PRNGKey(self.config.seed), self.step)
+        batch_j = {k: jnp.asarray(v) for k, v in batch.items()}
+        (self.table_states, self.params, self.opt_state, loss, preds, aux
+         ) = self._jit_step(self.table_states, self.params, self.opt_state,
+                            inputs, batch_j, key, jnp.int32(self.step))
+        self.step += 1
+        if self.config.metrics_enabled and "label" in batch:
+            preds_np = np.asarray(preds)
+            self.auc.update(preds_np, batch["label"])
+            self.loss_mean.update(float(loss))
+        return {"loss": loss, "preds": preds, "stats": stats, "aux": aux}
+
+    def evaluate(self, data: Iterator, max_steps: Optional[int] = None) -> Dict[str, float]:
+        """data yields (fid_batch, batch). Returns {"auc":…, "loss":…}."""
+        if self._jit_eval is None:
+            self._jit_eval = self._build_eval()
+        auc, loss_mean = StreamingAUC(), StreamingMean()
+        for i, (fid_batch, batch) in enumerate(data):
+            if max_steps is not None and i >= max_steps:
+                break
+            inputs, _ = self.engine.prepare_batch(fid_batch, ts=0)
+            self._maybe_init(inputs, batch)
+            batch_j = {k: jnp.asarray(v) for k, v in batch.items()}
+            loss, preds, _ = self._jit_eval(self.table_states, self.params,
+                                            inputs, batch_j)
+            auc.update(np.asarray(preds), batch["label"])
+            loss_mean.update(float(loss))
+        return {"auc": auc.result(), "loss": loss_mean.result()}
+
+    def train(self, data: Iterator, steps: Optional[int] = None,
+              hooks=()) -> Dict[str, float]:
+        """Run the training loop over `data` (yields (fid_batch, batch))."""
+        t0 = time.time()
+        examples = 0
+        for i, (fid_batch, batch) in enumerate(data):
+            if steps is not None and i >= steps:
+                break
+            out = self.train_step(fid_batch, batch)
+            examples += len(next(iter(batch.values())))
+            for h in hooks:
+                h(self, out)
+            if self.config.log_every and (self.step % self.config.log_every == 0):
+                dt = time.time() - t0
+                print(f"step {self.step}: loss={self.loss_mean.result():.4f} "
+                      f"auc={self.auc.result():.4f} "
+                      f"ex/s={examples / max(dt, 1e-9):.0f}")
+        return {"auc": self.auc.result(), "loss": self.loss_mean.result(),
+                "examples_per_sec": examples / max(time.time() - t0, 1e-9)}

@@ -1,0 +1,85 @@
+"""Sharded-trainer tests on the virtual 8-device CPU mesh: SPMD embedding
+exchange (all_gather fwd, psum_scatter bwd), data-parallel dense tower.
+Covers the semantics of the reference's distributed_ps_sync tests."""
+
+import jax
+import numpy as np
+import pytest
+
+from monolith_tpu.data.synthetic import SyntheticCTR
+from monolith_tpu.embedding.engine import EngineConfig
+from monolith_tpu.models.deepfm import DeepFMTask
+from monolith_tpu.parallel import ShardedTrainer, make_mesh
+from monolith_tpu.training.trainer import Trainer, TrainerConfig
+
+
+def make_trainers(n_dev, batch_size=256, seed=11):
+    task = DeepFMTask(embedding_dim=8, capacity_per_shard=4096, hidden=(32, 16))
+    cfg_s = TrainerConfig(engine=EngineConfig(num_shards=n_dev, unique_cap=512,
+                                              new_cap=512), log_every=0, seed=seed)
+    mesh = make_mesh(n_dev)
+    return ShardedTrainer(task, cfg_s, mesh)
+
+
+class TestShardedTrainer:
+    def test_step_runs_on_8_devices(self):
+        tr = make_trainers(8)
+        data = SyntheticCTR(num_users=100, num_items=60, batch_size=256, seed=11)
+        fb, b = data.batch()
+        out = tr.train_step(fb, b)
+        assert np.isfinite(float(out["loss"]))
+        assert np.asarray(out["preds"]).shape == (256,)
+
+    def test_sharded_learns(self):
+        tr = make_trainers(8)
+        data = SyntheticCTR(num_users=100, num_items=60, batch_size=512, seed=12)
+        it = iter(data)
+        losses = []
+        for i in range(60):
+            fb, b = next(it)
+            out = tr.train_step(fb, b)
+            losses.append(float(out["loss"]))
+        assert np.mean(losses[-10:]) < np.mean(losses[:10]) - 0.005
+
+    def test_matches_single_device_semantics(self):
+        """Sharded and single-device trainers see the same data and must produce
+        near-identical losses (same admission order, same init distributions
+        modulo per-shard PRNG keys -> compare loss trajectories loosely)."""
+        seed = 13
+        task1 = DeepFMTask(embedding_dim=8, capacity_per_shard=4096 * 8,
+                           hidden=(32, 16), init_scale=0.0)  # zero init => deterministic
+        task2 = DeepFMTask(embedding_dim=8, capacity_per_shard=4096,
+                           hidden=(32, 16), init_scale=0.0)
+        cfg1 = TrainerConfig(engine=EngineConfig(num_shards=1, unique_cap=512 * 8,
+                                                 new_cap=512 * 8), log_every=0, seed=seed)
+        cfg2 = TrainerConfig(engine=EngineConfig(num_shards=8, unique_cap=512,
+                                                 new_cap=512), log_every=0, seed=seed)
+        t1 = Trainer(task1, cfg1)
+        t2 = ShardedTrainer(task2, cfg2, make_mesh(8))
+        d1 = SyntheticCTR(num_users=80, num_items=40, batch_size=128, seed=seed)
+        d2 = SyntheticCTR(num_users=80, num_items=40, batch_size=128, seed=seed)
+        for i in range(10):
+            fb1, b1 = d1.batch()
+            fb2, b2 = d2.batch()
+            o1 = t1.train_step(fb1, b1, ts=i)
+            o2 = t2.train_step(fb2, b2, ts=i)
+            np.testing.assert_allclose(float(o1["loss"]), float(o2["loss"]),
+                                       rtol=2e-3)
+
+    def test_eval_sharded(self):
+        tr = make_trainers(8)
+        data = SyntheticCTR(num_users=100, num_items=60, batch_size=256, seed=14)
+        it = iter(data)
+        for i in range(30):
+            fb, b = next(it)
+            tr.train_step(fb, b)
+        res = tr.evaluate(iter(data), max_steps=5)
+        assert 0.0 <= res["auc"] <= 1.0
+        assert np.isfinite(res["loss"])
+
+    def test_mesh_size_mismatch_raises(self):
+        task = DeepFMTask(embedding_dim=8, capacity_per_shard=1024, hidden=(8,))
+        cfg = TrainerConfig(engine=EngineConfig(num_shards=4, unique_cap=128,
+                                                new_cap=128), log_every=0)
+        with pytest.raises(ValueError):
+            ShardedTrainer(task, cfg, make_mesh(8))

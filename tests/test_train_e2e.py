@@ -1,0 +1,107 @@
+"""End-to-end local training test: DeepFM on synthetic CTR.
+
+Parity gate vs reference cpu_training_test.py (local_train end-to-end with
+features, admission, expiry, save/restore — :297-418)."""
+
+import itertools
+
+import numpy as np
+import pytest
+
+from monolith_tpu.data.synthetic import SyntheticCTR
+from monolith_tpu.embedding.engine import EngineConfig
+from monolith_tpu.models.deepfm import DeepFMTask
+from monolith_tpu.training import checkpoint
+from monolith_tpu.training.trainer import Trainer, TrainerConfig
+
+
+def small_task(**kw):
+    defaults = dict(embedding_dim=8, capacity_per_shard=8192, hidden=(32, 16))
+    defaults.update(kw)
+    return DeepFMTask(**defaults)
+
+
+def small_trainer(task=None, **cfg_kw):
+    cfg = TrainerConfig(engine=EngineConfig(num_shards=1, unique_cap=2048,
+                                            new_cap=2048),
+                        log_every=0, **cfg_kw)
+    return Trainer(task or small_task(), cfg)
+
+
+class TestLocalTrain:
+    def test_auc_improves_over_training(self):
+        data = SyntheticCTR(num_users=100, num_items=60, batch_size=512, seed=3)
+        trainer = small_trainer()
+        it = iter(data)
+        trainer.train(it, steps=150)
+        trainer.auc.reset()
+        trainer.loss_mean.reset()
+        trainer.train(it, steps=50)
+        trained_auc = trainer.auc.result()
+        assert trained_auc > 0.60, f"AUC too low: {trained_auc}"
+
+    def test_eval_matches_training_distribution(self):
+        data = SyntheticCTR(num_users=100, num_items=60, batch_size=512, seed=4)
+        trainer = small_trainer()
+        trainer.train(iter(data), steps=120)
+        result = trainer.evaluate(iter(data), max_steps=20)
+        assert result["auc"] > 0.58
+
+    def test_admission_threshold_limits_table_growth(self):
+        data = SyntheticCTR(num_users=2000, num_items=1000, batch_size=128, seed=5)
+        t_all = small_trainer(small_task(admission_threshold=1))
+        t_filt = small_trainer(small_task(admission_threshold=3))
+        t_all.train(iter(data), steps=10)
+        data2 = SyntheticCTR(num_users=2000, num_items=1000, batch_size=128, seed=5)
+        t_filt.train(iter(data2), steps=10)
+        size_all = t_all.engine.stores["sparse"][0].size()
+        size_filt = t_filt.engine.stores["sparse"][0].size()
+        assert size_filt < size_all * 0.8
+
+
+class TestCheckpoint:
+    def test_save_restore_roundtrip(self, tmp_path):
+        data = SyntheticCTR(num_users=200, num_items=100, batch_size=64, seed=6)
+        trainer = small_trainer()
+        it = iter(data)
+        trainer.train(it, steps=30)
+        eval_before = trainer.evaluate(iter(SyntheticCTR(
+            num_users=200, num_items=100, batch_size=64, seed=6)), max_steps=10)
+        path = checkpoint.save(trainer, str(tmp_path))
+        assert checkpoint.latest_step(str(tmp_path)) == 30
+
+        # fresh trainer, restore, same eval
+        trainer2 = small_trainer()
+        fid_batch, batch = data.batch()
+        inputs, _ = trainer2.engine.prepare_batch(fid_batch, ts=0)
+        trainer2._maybe_init(inputs, batch)
+        checkpoint.restore(trainer2, str(tmp_path))
+        assert trainer2.step == 30
+        eval_after = trainer2.evaluate(iter(SyntheticCTR(
+            num_users=200, num_items=100, batch_size=64, seed=6)), max_steps=10)
+        np.testing.assert_allclose(eval_after["auc"], eval_before["auc"], atol=1e-6)
+        np.testing.assert_allclose(eval_after["loss"], eval_before["loss"], rtol=1e-5)
+
+    def test_training_continues_after_restore(self, tmp_path):
+        data = SyntheticCTR(num_users=200, num_items=100, batch_size=64, seed=7)
+        trainer = small_trainer()
+        it = iter(data)
+        trainer.train(it, steps=20)
+        checkpoint.save(trainer, str(tmp_path))
+
+        trainer2 = small_trainer()
+        fid_batch, batch = data.batch()
+        inputs, _ = trainer2.engine.prepare_batch(fid_batch, ts=0)
+        trainer2._maybe_init(inputs, batch)
+        checkpoint.restore(trainer2, str(tmp_path))
+        trainer2.train(it, steps=20)
+        assert trainer2.step == 40
+
+    def test_dense_only_checkpoint(self, tmp_path):
+        trainer = small_trainer()
+        data = SyntheticCTR(num_users=100, num_items=50, batch_size=32, seed=8)
+        trainer.train(iter(data), steps=5)
+        checkpoint.save(trainer, str(tmp_path), dense_only=True)
+        import json, os
+        with open(os.path.join(str(tmp_path), "ckpt-5", "meta.json")) as f:
+            assert json.load(f)["dense_only"]
