@@ -1,1 +1,3 @@
 from monolith_tpu.models.deepfm import DeepFMModule, DeepFMTask
+from monolith_tpu.models.ffm import FFMModule, FFMTask
+from monolith_tpu.models.multitask import MMoEModule, MMoETask

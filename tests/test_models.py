@@ -1,0 +1,42 @@
+"""Model-zoo tasks train end-to-end (FFM parity model, MMoE multitask)."""
+
+import numpy as np
+
+from monolith_tpu.data.synthetic import SyntheticCTR
+from monolith_tpu.embedding.engine import EngineConfig
+from monolith_tpu.models import FFMTask, MMoETask
+from monolith_tpu.training.trainer import Trainer, TrainerConfig
+
+
+def cfg():
+    return TrainerConfig(engine=EngineConfig(num_shards=1, unique_cap=1024,
+                                             new_cap=1024), log_every=0)
+
+
+class TestFFM:
+    def test_ffm_learns(self):
+        data = SyntheticCTR(num_users=100, num_items=60, batch_size=256, seed=31)
+        tr = Trainer(FFMTask(capacity_per_shard=8192), cfg())
+        it = iter(data)
+        losses = []
+        for i in range(80):
+            fb, b = next(it)
+            losses.append(float(tr.train_step(fb, b)["loss"]))
+        assert np.mean(losses[-10:]) < np.mean(losses[:10])
+
+
+class TestMMoE:
+    def test_multitask_trains(self):
+        data = SyntheticCTR(num_users=80, num_items=40, batch_size=128, seed=32)
+        tr = Trainer(MMoETask(capacity_per_shard=8192, num_tasks=2), cfg())
+        it = iter(data)
+        losses = []
+        for i in range(40):
+            fb, b = next(it)
+            # synthesize a second label head
+            b = dict(b)
+            b["labels"] = np.stack([b["label"], 1.0 - b["label"]], axis=1)
+            out = tr.train_step(fb, b)
+            losses.append(float(out["loss"]))
+            assert "loss_task0" in out["aux"]
+        assert np.mean(losses[-5:]) < np.mean(losses[:5])
