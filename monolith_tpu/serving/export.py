@@ -1,0 +1,78 @@
+"""Model export for serving.
+
+TPU-native rebuild of ref model_export/ (StandaloneExporter/
+DistributedExporter saved_model_exporters.py:510,571, ExportContext
+export_context.py:26). There is no graph format to export — the serving
+"graph" is the task's flax module + the framework's lookup path — so an
+export is: dense params, per-(table, shard) row dumps with the host id->row
+maps, and metadata. Per-segment serving compressors (ref
+runtime/hash_table/compressor/float_compressor.cc) are applied column-wise
+at export; ServingModel decompresses on load.
+
+Layout:
+    <dir>/export-<step>/
+        meta.json
+        dense.msgpack
+        tables/<table>-s<k>.npz     fids + per-segment compressed blobs
+    <dir>/EXPORT                    latest step pointer
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def export_model(trainer, directory: str, step: Optional[int] = None) -> str:
+    """Export trainer state for serving; returns export path."""
+    step = trainer.step if step is None else step
+    path = os.path.join(directory, f"export-{step}")
+    os.makedirs(os.path.join(path, "tables"), exist_ok=True)
+
+    with open(os.path.join(path, "dense.msgpack"), "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(trainer.params)))
+
+    meta = {"step": step, "ts": int(time.time()), "tables": {}}
+    for tname, spec in trainer.engine.tables.items():
+        state = jax.device_get(trainer.table_states[tname])
+        num_shards = state["params"].shape[0]
+        seg_meta = [{"dim": s.dim, "compressor": s.compressor.name}
+                    for s in spec.segments]
+        meta["tables"][tname] = {"shards": num_shards, "dim": spec.dim,
+                                 "capacity_per_shard": spec.capacity_per_shard,
+                                 "segments": seg_meta}
+        for s in range(num_shards):
+            store = trainer.engine.stores[tname][s]
+            fids, rows, _, _ = store.save()
+            # export only live rows, in fid order, compressed per segment
+            pool = np.asarray(state["params"][s], dtype=np.float32)
+            live = pool[rows] if len(rows) else np.zeros((0, spec.dim), np.float32)
+            arrays = {"fids": fids}
+            off = 0
+            for i, seg in enumerate(spec.segments):
+                blob = seg.compressor.compress(live[:, off:off + seg.dim])
+                for k, v in blob.items():
+                    arrays[f"seg{i}:{k}"] = np.asarray(v)
+                off += seg.dim
+            np.savez(os.path.join(path, "tables", f"{tname}-s{s}.npz"), **arrays)
+
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(directory, "EXPORT"), "w") as f:
+        f.write(str(step))
+    return path
+
+
+def latest_export(directory: str) -> Optional[str]:
+    p = os.path.join(directory, "EXPORT")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        step = int(f.read().strip())
+    return os.path.join(directory, f"export-{step}")

@@ -1,0 +1,120 @@
+"""Realtime (streaming) training.
+
+TPU-native rebuild of the reference's realtime mode (SURVEY §3.5): Kafka-fed
+minibatches, touched-key tracking, periodic push of delta rows to serving
+replicas (ref: PS-side 10s sync thread cpu_training.py:1736-1767 /
+ParameterSyncHook sync_training_hooks.py:70), dense-only fast checkpoints
+(cpu_training.py:602-607), and periodic expiry eviction.
+
+Works with any Trainer (single-device or sharded): the engine records
+touched fids per table shard; every sync interval the streaming loop drains
+them, reads their rows from the device pools, and pushes (fids, embeddings)
+to every live serving replica via SyncClientManager.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+from monolith_tpu.serving.param_sync import SyncClientManager
+from monolith_tpu.training import checkpoint as ckpt_lib
+from monolith_tpu.training.trainer import Trainer
+
+log = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class StreamingConfig:
+    sync_interval_steps: int = 50          # push deltas every N steps
+    dense_ckpt_interval_steps: int = 0     # 0 = off (ref: 30min default)
+    full_ckpt_interval_steps: int = 0
+    evict_interval_steps: int = 0
+    ckpt_dir: Optional[str] = None
+    max_push_rows: int = 1 << 20
+
+
+class StreamingTrainer:
+    def __init__(self, trainer: Trainer,
+                 sync_manager: Optional[SyncClientManager] = None,
+                 config: StreamingConfig = StreamingConfig()):
+        self.trainer = trainer
+        self.sync = sync_manager
+        self.config = config
+        if not trainer.config.engine.record_touch and sync_manager is not None:
+            raise ValueError("engine.record_touch must be True for realtime "
+                             "parameter sync (EngineConfig(record_touch=True))")
+        self.pushed_rows = 0
+        self.sync_rounds = 0
+
+    # ------------------------------------------------------------------
+
+    def sync_now(self) -> Dict[str, int]:
+        """Drain touched fids and push deltas to serving (one sync round)."""
+        if self.sync is None:
+            return {}
+        t = self.trainer
+        pushed = {}
+        for tname, spec in t.engine.tables.items():
+            state = jax.device_get(t.table_states[tname])
+            fids_all, vals_all = [], []
+            for s, store in enumerate(t.engine.stores[tname]):
+                fids = store.drain_touched(cap=self.config.max_push_rows)
+                if fids.size == 0:
+                    continue
+                rows = store.lookup(fids)
+                ok = rows >= 0
+                fids, rows = fids[ok], rows[ok]
+                if fids.size == 0:
+                    continue
+                fids_all.append(fids)
+                vals_all.append(np.asarray(state["params"][s])[rows])
+            if not fids_all:
+                continue
+            fids = np.concatenate(fids_all)
+            vals = np.concatenate(vals_all).astype(np.float32)
+            acks = self.sync.push(tname, fids, vals)
+            pushed[tname] = len(fids)
+            log.info("param sync: table %s pushed %d rows -> %s",
+                     tname, len(fids), acks)
+        self.pushed_rows += sum(pushed.values())
+        self.sync_rounds += 1
+        return pushed
+
+    # ------------------------------------------------------------------
+
+    def run(self, data: Iterable, max_steps: Optional[int] = None) -> Dict:
+        """Consume a (possibly unbounded) stream of (fid_batch, batch)."""
+        t = self.trainer
+        cfg = self.config
+        n = 0
+        for fid_batch, batch in data:
+            t.train_step(fid_batch, batch)
+            n += 1
+            if self.sync is not None and cfg.sync_interval_steps and \
+                    n % cfg.sync_interval_steps == 0:
+                self.sync_now()
+            if cfg.ckpt_dir and cfg.dense_ckpt_interval_steps and \
+                    n % cfg.dense_ckpt_interval_steps == 0:
+                ckpt_lib.save(t, cfg.ckpt_dir, dense_only=True)
+            if cfg.ckpt_dir and cfg.full_ckpt_interval_steps and \
+                    n % cfg.full_ckpt_interval_steps == 0:
+                ckpt_lib.save(t, cfg.ckpt_dir)
+            if cfg.evict_interval_steps and n % cfg.evict_interval_steps == 0:
+                now = int(time.time())
+                for spec in t.engine.tables.values():
+                    if spec.eviction.ttl_seconds > 0:
+                        t.engine.evict_expired(now - spec.eviction.ttl_seconds)
+            if max_steps is not None and n >= max_steps:
+                break
+        # final flush
+        if self.sync is not None:
+            self.sync_now()
+        return {"steps": n, "pushed_rows": self.pushed_rows,
+                "sync_rounds": self.sync_rounds,
+                "auc": t.auc.result(), "loss": t.loss_mean.result()}
