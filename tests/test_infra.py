@@ -1,0 +1,217 @@
+"""Infra tests: metrics client, deep insight, hooks, controller service,
+config system, dense optimizers, estimator facade, model dump."""
+
+import json
+import time
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from monolith_tpu.config import InstantiableParams, Params, extract_flags, parse_into
+from monolith_tpu.data.synthetic import SyntheticCTR
+from monolith_tpu.embedding.engine import EngineConfig
+from monolith_tpu.estimator import Estimator, RunnerConfig
+from monolith_tpu.model_dump import dump_model
+from monolith_tpu.models.deepfm import DeepFMTask
+from monolith_tpu.optimizers import adamom, adamom_v2, rmsprop_v2, shampoo
+from monolith_tpu.training.controller import ControllerClient, TrainingController
+from monolith_tpu.training.hooks import MachineInfoHook, ThroughputHook, machine_info
+from monolith_tpu.training.trainer import Trainer, TrainerConfig
+from monolith_tpu.utils.deep_insight import DeepInsightClient
+from monolith_tpu.utils.metrics_client import MetricClient
+
+
+def small_task():
+    return DeepFMTask(embedding_dim=8, capacity_per_shard=4096, hidden=(16, 8))
+
+
+def small_trainer():
+    return Trainer(small_task(), TrainerConfig(
+        engine=EngineConfig(num_shards=1, unique_cap=512, new_cap=512),
+        log_every=0))
+
+
+class TestMetrics:
+    def test_counters_timers_stores(self):
+        m = MetricClient(prefix="t")
+        m.emit_counter("reqs", 1, tags={"ps": "0"})
+        m.emit_counter("reqs", 2, tags={"ps": "0"})
+        m.emit_store("qsize", 7.0)
+        with m.timing("lat"):
+            pass
+        snap = m.snapshot()
+        assert snap["counters"]["t.reqs|ps=0"] == 3
+        assert snap["stores"]["t.qsize"] == 7.0
+        assert snap["timers"]["t.lat"]["count"] == 1
+
+
+class TestDeepInsight:
+    def test_sampled_emission(self):
+        c = DeepInsightClient("m", sample_rate=1.0)
+        n = c.emit(np.array([1.0, 0.0]), np.array([0.9, 0.2]),
+                   uids=np.array([5, 6]))
+        assert n == 2
+        assert c.buffer[0]["label"] == 1.0 and c.buffer[0]["uid"] == 5
+
+    def test_downsampling(self):
+        c = DeepInsightClient("m", sample_rate=0.1, seed=1)
+        n = c.emit(np.ones(10000), np.ones(10000))
+        assert abs(n / 10000 - 0.1) < 0.03
+
+
+class TestHooksAndController:
+    def test_hooks_run(self):
+        tr = small_trainer()
+        data = SyntheticCTR(num_users=50, num_items=30, batch_size=64, seed=71)
+        m = MetricClient()
+        tr.train(iter(data), steps=6,
+                 hooks=[ThroughputHook(every=2, client=m),
+                        MachineInfoHook(every=2, client=m)])
+        assert any("throughput" in k for k in m.snapshot()["stores"])
+
+    def test_machine_info(self):
+        info = machine_info()
+        assert "ts" in info and info.get("mem_total_kb", 0) > 0
+
+    def test_controller_status_save_pause(self, tmp_path):
+        tr = small_trainer()
+        data = SyntheticCTR(num_users=50, num_items=30, batch_size=64, seed=72)
+        ctl = TrainingController(tr, ckpt_dir=str(tmp_path))
+        addr = ctl.start()
+        try:
+            client = ControllerClient(addr)
+            tr.train(iter(data), steps=5, hooks=[ctl.hook])
+            status = client.get_status()
+            assert status["step"] == 5
+            assert status["table:sparse:s0:size"] > 0
+            client.save_checkpoint()
+            tr.train(iter(data), steps=2, hooks=[ctl.hook])
+            from monolith_tpu.training import checkpoint
+            assert checkpoint.latest_step(str(tmp_path)) is not None
+        finally:
+            ctl.stop()
+
+
+class TestConfig:
+    def test_params_define_set_get(self):
+        p = Params()
+        p.define("lr", 0.1)
+        child = Params()
+        child.define("dim", 8)
+        p.define("model", child)
+        p.set(lr=0.5, **{"model.dim": 16})
+        assert p.lr == 0.5 and p.get("model.dim") == 16
+        with pytest.raises(AttributeError):
+            p.undefined = 1
+        p.freeze()
+        with pytest.raises(AttributeError):
+            p.lr = 0.9
+
+    def test_instantiable(self):
+        class Model:
+            def __init__(self, params):
+                self.dim = params.dim
+
+        p = InstantiableParams(Model)
+        p.define("dim", 32)
+        m = p.instantiate()
+        assert m.dim == 32
+
+    def test_flags_bridge(self):
+        import dataclasses
+
+        @dataclasses.dataclass
+        class Cfg:
+            lr: float = 0.1
+            steps: int = 10
+            name: str = "x"
+            flag: bool = False
+
+        cfg = parse_into(Cfg, ["--lr", "0.5", "--flag", "true", "--junk", "1"])
+        assert cfg.lr == 0.5 and cfg.steps == 10 and cfg.flag is True
+
+
+class TestDenseOptimizers:
+    def _fit(self, tx, steps=200):
+        params = {"w": jnp.array([5.0, -3.0])}
+        state = tx.init(params)
+
+        def loss(p):
+            return jnp.sum(p["w"] ** 2)
+
+        import jax
+        for _ in range(steps):
+            g = jax.grad(loss)(params)
+            upd, state = tx.update(g, state, params)
+            params = optax.apply_updates(params, upd)
+        return float(loss(params))
+
+    def test_adamom_converges(self):
+        # adamom takes near-constant lr-sized steps (sign-like); settle
+        # amplitude scales with lr
+        assert self._fit(adamom(learning_rate=0.02), steps=800) < 0.3
+
+    def test_adamom_v2_converges(self):
+        assert self._fit(adamom_v2(learning_rate=0.02), steps=800) < 0.3
+
+    def test_rmsprop_v2_converges(self):
+        assert self._fit(rmsprop_v2(learning_rate=0.1)) < 0.1
+
+    def test_shampoo_matrix_converges(self):
+        import jax
+        tx = shampoo(learning_rate=0.3, update_preconditioner_every=5)
+        params = {"w": jnp.ones((4, 3)) * 2.0}
+        state = tx.init(params)
+
+        def loss(p):
+            return jnp.sum(p["w"] ** 2)
+
+        for _ in range(150):
+            g = jax.grad(loss)(params)
+            upd, state = tx.update(g, state, params)
+            params = optax.apply_updates(params, upd)
+        assert float(loss(params)) < 0.1
+
+
+class TestEstimator:
+    def test_train_eval_predict_export(self, tmp_path):
+        data = SyntheticCTR(num_users=60, num_items=30, batch_size=128, seed=73)
+        est = Estimator(small_task(), RunnerConfig(model_dir=str(tmp_path / "m"),
+                                                   unique_cap=512, new_cap=512,
+                                                   log_every=0))
+        res = est.train(iter(data), steps=20)
+        assert "auc" in res
+        ev = est.evaluate(iter(data), steps=5)
+        assert 0 <= ev["auc"] <= 1
+        preds = list(est.predict(iter(data), steps=2))
+        assert len(preds) == 2 and preds[0].shape == (128,)
+        path = est.export_saved_model(str(tmp_path / "exp"))
+        import os
+        assert os.path.exists(os.path.join(path, "meta.json"))
+
+    def test_estimator_restores_from_model_dir(self, tmp_path):
+        data = SyntheticCTR(num_users=60, num_items=30, batch_size=128, seed=74)
+        est = Estimator(small_task(), RunnerConfig(model_dir=str(tmp_path),
+                                                   unique_cap=512, new_cap=512,
+                                                   log_every=0))
+        est.train(iter(data), steps=10)
+        est2 = Estimator(small_task(), RunnerConfig(model_dir=str(tmp_path),
+                                                    unique_cap=512, new_cap=512,
+                                                    log_every=0))
+        est2.train(iter(data), steps=5)
+        assert est2.trainer.step == 15
+
+
+class TestModelDump:
+    def test_dump_is_json_serializable(self):
+        tr = small_trainer()
+        data = SyntheticCTR(num_users=20, num_items=10, batch_size=32, seed=75)
+        fb, b = data.batch()
+        tr.train_step(fb, b)
+        d = dump_model(tr)
+        s = json.dumps(d, default=repr)
+        assert "sparse" in d["tables"]
+        assert d["dense_param_count"] > 0
+        assert "Adagrad" in s
