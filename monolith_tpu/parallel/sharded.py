@@ -84,11 +84,11 @@ class ShardedTrainer(Trainer):
         specs = {t: engine.tables[t] for t in engine.tables}
         U = cfg.engine.unique_cap
 
-        def local_step(table_states, params, opt_state, inputs, batch, key, stepno):
+        def local_step(table_states, params, opt_state, inputs, batch, base_key, stepno):
             # Everything here is per-device: table_states arrays [1, cap, ...],
             # inputs rows [1, U], index/batch sharded on batch axis.
             my = jax.lax.axis_index(ax)
-            key = jax.random.fold_in(key, my)
+            key = jax.random.fold_in(jax.random.fold_in(base_key, stepno), my)
 
             # admit new rows into the local shard
             new_states = {}
@@ -200,15 +200,16 @@ class ShardedTrainer(Trainer):
         self._maybe_init(inputs, batch)
         if self._jit_step is None:
             self._jit_step = self._build_step()
-        key = jax.random.fold_in(jax.random.PRNGKey(self.config.seed), self.step)
-        batch_j = {k: jnp.asarray(v) for k, v in batch.items()}
+        if self._base_key is None:
+            self._base_key = jax.random.PRNGKey(self.config.seed)
         (self.table_states, self.params, self.opt_state, loss, preds, aux
          ) = self._jit_step(self.table_states, self.params, self.opt_state,
-                            inputs, batch_j, key, jnp.int32(self.step))
+                            inputs, batch, self._base_key, np.int32(self.step))
         self.step += 1
         if self.config.metrics_enabled and "label" in batch:
-            self.auc.update(np.asarray(preds), batch["label"])
-            self.loss_mean.update(float(loss))
+            self._pending_metrics.append((loss, preds, batch["label"]))
+            if len(self._pending_metrics) >= self.config.metrics_every:
+                self._drain_metrics()
         return {"loss": loss, "preds": preds, "stats": stats, "aux": aux}
 
     def evaluate(self, data, max_steps=None):

@@ -37,6 +37,7 @@ class TrainerConfig:
     seed: int = 0
     log_every: int = 100
     metrics_enabled: bool = True
+    metrics_every: int = 20  # steps between metric syncs (each sync blocks)
 
 
 class Trainer:
@@ -57,6 +58,8 @@ class Trainer:
         self._jit_eval = None
         self.auc = StreamingAUC()
         self.loss_mean = StreamingMean()
+        self._base_key = None
+        self._pending_metrics = []
 
     # ------------------------------------------------------------------
 
@@ -71,7 +74,8 @@ class Trainer:
     def _build_step(self):
         engine, module, task, cfg = self.engine, self.module, self.task, self.config
 
-        def step_fn(table_states, params, opt_state, inputs, batch, key, stepno):
+        def step_fn(table_states, params, opt_state, inputs, batch, base_key, stepno):
+            key = jax.random.fold_in(base_key, stepno)
             table_states = engine.admit_rows(table_states, inputs, key)
             unique = engine.lookup_unique(table_states, inputs)
 
@@ -116,17 +120,28 @@ class Trainer:
         self._maybe_init(inputs, batch)
         if self._jit_step is None:
             self._jit_step = self._build_step()
-        key = jax.random.fold_in(jax.random.PRNGKey(self.config.seed), self.step)
-        batch_j = {k: jnp.asarray(v) for k, v in batch.items()}
+        if self._base_key is None:
+            self._base_key = jax.random.PRNGKey(self.config.seed)
+        # exactly ONE device dispatch per step: the key fold happens inside
+        # the jitted program, batch/inputs are numpy (transferred as call
+        # args), and metric syncs are deferred — small host-side ops each
+        # cost a full dispatch round trip on remote-attached TPUs.
         (self.table_states, self.params, self.opt_state, loss, preds, aux
          ) = self._jit_step(self.table_states, self.params, self.opt_state,
-                            inputs, batch_j, key, jnp.int32(self.step))
+                            inputs, batch, self._base_key,
+                            np.int32(self.step))
         self.step += 1
         if self.config.metrics_enabled and "label" in batch:
-            preds_np = np.asarray(preds)
-            self.auc.update(preds_np, batch["label"])
-            self.loss_mean.update(float(loss))
+            self._pending_metrics.append((loss, preds, batch["label"]))
+            if len(self._pending_metrics) >= self.config.metrics_every:
+                self._drain_metrics()
         return {"loss": loss, "preds": preds, "stats": stats, "aux": aux}
+
+    def _drain_metrics(self):
+        for loss, preds, labels in self._pending_metrics:
+            self.auc.update(np.asarray(preds), labels)
+            self.loss_mean.update(float(loss))
+        self._pending_metrics = []
 
     def evaluate(self, data: Iterator, max_steps: Optional[int] = None) -> Dict[str, float]:
         """data yields (fid_batch, batch). Returns {"auc":…, "loss":…}."""
@@ -158,9 +173,11 @@ class Trainer:
             for h in hooks:
                 h(self, out)
             if self.config.log_every and (self.step % self.config.log_every == 0):
+                self._drain_metrics()
                 dt = time.time() - t0
                 print(f"step {self.step}: loss={self.loss_mean.result():.4f} "
                       f"auc={self.auc.result():.4f} "
                       f"ex/s={examples / max(dt, 1e-9):.0f}")
+        self._drain_metrics()
         return {"auc": self.auc.result(), "loss": self.loss_mean.result(),
                 "examples_per_sec": examples / max(time.time() - t0, 1e-9)}
