@@ -27,7 +27,12 @@ from monolith_tpu.data.framing import read_example_file
 
 
 class FileSource:
-    """Framed example files (ref FilePBDataset data/datasets.py:472)."""
+    """Framed example files (ref FilePBDataset data/datasets.py:472).
+
+    Tracks its position so a worker's dataset-iterator state can be
+    checkpointed and resumed (ref hooks/ckpt_hooks.py WorkerCkptHelper):
+    `state()` returns {"epoch", "file_idx", "record_idx"}; `set_state()`
+    makes the next iteration resume from that position."""
 
     def __init__(self, patterns: Sequence[str], has_sort_id: bool = False,
                  repeat: bool = False):
@@ -38,11 +43,37 @@ class FileSource:
             self.paths.extend(sorted(glob_lib.glob(p)) or [p])
         self.has_sort_id = has_sort_id
         self.repeat = repeat
+        self._pos = {"epoch": 0, "file_idx": 0, "record_idx": 0}
+
+    def state(self) -> Dict[str, int]:
+        return dict(self._pos)
+
+    def set_state(self, state: Dict[str, int]) -> None:
+        self._pos = dict(state)
 
     def __iter__(self) -> Iterator[Example]:
+        epoch = self._pos["epoch"]
+        start_file = self._pos["file_idx"]
+        skip = self._pos["record_idx"]
         while True:
-            for path in self.paths:
-                yield from read_example_file(path, has_sort_id=self.has_sort_id)
+            for fi in range(start_file, len(self.paths)):
+                self._pos.update(file_idx=fi, epoch=epoch)
+                rec = 0
+                for ex in read_example_file(self.paths[fi],
+                                            has_sort_id=self.has_sort_id):
+                    if skip > 0:
+                        skip -= 1
+                        rec += 1
+                        continue
+                    # position = records consumed so far, so a state() taken
+                    # after receiving this record resumes at the next one
+                    self._pos["record_idx"] = rec + 1
+                    rec += 1
+                    yield ex
+                skip = 0
+            start_file = 0
+            epoch += 1
+            self._pos.update(epoch=epoch, file_idx=0, record_idx=0)
             if not self.repeat:
                 return
 

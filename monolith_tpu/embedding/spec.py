@@ -121,6 +121,9 @@ class TableSpec:
     admission: AdmissionConfig = dataclasses.field(default_factory=AdmissionConfig)
     eviction: EvictionConfig = dataclasses.field(default_factory=EvictionConfig)
     dtype: jnp.dtype = jnp.float32
+    # store params in 16-bit with stochastic rounding on update (ref
+    # stochastic_rounding_float16, optimizer.proto:229); requires dtype=bf16
+    stochastic_rounding: bool = False
 
     @property
     def dim(self) -> int:

@@ -109,7 +109,13 @@ def apply_gradients(spec: TableSpec, state: TableState, rows: jnp.ndarray,
         new_slots.append({name: seg_slots[name].at[rows].set(val, mode="drop")
                           for name, val in slots_new.items()})
         off += seg.dim
-    p_new_full = jnp.concatenate(new_p_pieces, axis=-1).astype(spec.dtype)
+    p_new_full = jnp.concatenate(new_p_pieces, axis=-1)
+    if spec.stochastic_rounding and spec.dtype == jnp.bfloat16:
+        from monolith_tpu.ops.rounding import stochastic_round_bf16
+        key = jax.random.fold_in(jax.random.PRNGKey(0), step)
+        p_new_full = stochastic_round_bf16(p_new_full, key)
+    else:
+        p_new_full = p_new_full.astype(spec.dtype)
     params = state["params"].at[rows].set(p_new_full, mode="drop")
     return {"params": params, "slots": new_slots}
 

@@ -1,0 +1,178 @@
+"""Tests for parity extras: merged tables, bf16 + stochastic rounding,
+prefetch, iterator checkpoint state, failure recovery."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from monolith_tpu.data.datasets import FileSource
+from monolith_tpu.data.framing import write_example_file
+from monolith_tpu.data.prefetch import prefetch
+from monolith_tpu.data.synthetic import SyntheticCTR
+from monolith_tpu.embedding import initializers, optimizers, table
+from monolith_tpu.embedding.merge import merge_table_specs
+from monolith_tpu.embedding.spec import TableSegment, TableSpec
+from monolith_tpu.feature import FeatureConfig
+from monolith_tpu.ops.rounding import stochastic_round_bf16
+from monolith_tpu.training.recovery import run_with_recovery
+
+
+def seg(lr=0.1):
+    return TableSegment(dim=4, optimizer=optimizers.SGD(learning_rate=lr),
+                        initializer=initializers.Zeros())
+
+
+class TestMergeTables:
+    def test_same_config_merges(self):
+        specs = [TableSpec("a", 100, (seg(),)), TableSpec("b", 200, (seg(),)),
+                 TableSpec("c", 50, (seg(0.5),))]
+        feats = [FeatureConfig("fa", "a", 1), FeatureConfig("fb", "b", 1),
+                 FeatureConfig("fc", "c", 1)]
+        merged, new_feats, mapping = merge_table_specs(specs, feats)
+        assert len(merged) == 2
+        assert mapping["a"] == mapping["b"] != mapping["c"]
+        m = next(s for s in merged if s.name.startswith("merged_"))
+        assert m.capacity_per_shard == 300
+        assert {f.table for f in new_feats} == {mapping["a"], "c"}
+
+    def test_different_admission_not_merged(self):
+        from monolith_tpu.embedding.spec import AdmissionConfig
+        specs = [TableSpec("a", 100, (seg(),)),
+                 TableSpec("b", 100, (seg(),),
+                           admission=AdmissionConfig(kind="sliding", threshold=3))]
+        merged, _, mapping = merge_table_specs(specs, [])
+        assert len(merged) == 2 and mapping["a"] != mapping["b"]
+
+
+class TestStochasticRounding:
+    def test_unbiased_rounding(self):
+        # bf16 ulp at 1.0 is 2^-7; a quarter-point value must round up ~25%
+        # of the time and the ensemble mean must be preserved
+        x = jnp.full((4096,), 1.0 + 2 ** -9, dtype=jnp.float32)
+        out = stochastic_round_bf16(x, jax.random.PRNGKey(0))
+        vals = np.asarray(out.astype(jnp.float32))
+        frac_up = (vals > 1.0).mean()
+        assert 0.2 < frac_up < 0.3
+        assert abs(vals.mean() - (1.0 + 2 ** -9)) < 2 ** -10
+        # midpoint rounds up ~50%
+        x2 = jnp.full((4096,), 1.0 + 2 ** -8, dtype=jnp.float32)
+        vals2 = np.asarray(stochastic_round_bf16(x2, jax.random.PRNGKey(1))
+                           .astype(jnp.float32))
+        assert 0.45 < (vals2 > 1.0).mean() < 0.55
+
+    def test_bf16_table_with_stochastic_rounding_learns_small_updates(self):
+        spec = TableSpec("t", 64, (seg(lr=1.0),), dtype=jnp.bfloat16,
+                         stochastic_rounding=True)
+        st = table.create_state(spec)
+        rows = jnp.array([0], dtype=jnp.int32)
+        st = table.init_rows(spec, st, rows, jax.random.PRNGKey(0))
+        # update smaller than bf16 ulp at 1.0: deterministic bf16 would stall
+        st = table.assign_rows(spec, st, rows, jnp.ones((1, 4)))
+        tiny = 2.0 ** -10
+        for i in range(200):
+            st = table.apply_gradients(spec, st, rows,
+                                       jnp.full((1, 4), tiny), jnp.int32(i))
+        val = float(np.asarray(table.lookup(spec, st, rows)).mean())
+        # expected drift: 200 * 2^-10 ~ 0.195
+        assert val < 0.95, f"stochastic rounding failed to accumulate: {val}"
+
+    def test_plain_bf16_stalls_on_tiny_updates(self):
+        # control: without stochastic rounding the same updates vanish
+        spec = TableSpec("t", 64, (seg(lr=1.0),), dtype=jnp.bfloat16,
+                         stochastic_rounding=False)
+        st = table.create_state(spec)
+        rows = jnp.array([0], dtype=jnp.int32)
+        st = table.assign_rows(spec, st, rows, jnp.ones((1, 4)))
+        tiny = 2.0 ** -10
+        for i in range(50):
+            st = table.apply_gradients(spec, st, rows,
+                                       jnp.full((1, 4), tiny), jnp.int32(i))
+        val = float(np.asarray(table.lookup(spec, st, rows)).mean())
+        assert val > 0.99  # stuck at 1.0
+
+
+class TestPrefetch:
+    def test_order_preserved(self):
+        assert list(prefetch(range(100), size=4)) == list(range(100))
+
+    def test_error_propagates(self):
+        def bad():
+            yield 1
+            raise RuntimeError("boom")
+
+        it = prefetch(bad(), size=2)
+        assert next(it) == 1
+        with pytest.raises(RuntimeError):
+            list(it)
+
+
+class TestIteratorState:
+    def test_resume_from_state(self, tmp_path):
+        from monolith_tpu.data.example import Example
+        exs = [Example(features={"f": np.array([i], np.int64)}) for i in range(10)]
+        write_example_file(str(tmp_path / "a.rec"), exs[:5])
+        write_example_file(str(tmp_path / "b.rec"), exs[5:])
+        src = FileSource([str(tmp_path / "a.rec"), str(tmp_path / "b.rec")])
+        it = iter(src)
+        seen = [int(next(it).features["f"][0]) for _ in range(7)]
+        state = src.state()
+        # new source resumes where the old one stopped
+        src2 = FileSource([str(tmp_path / "a.rec"), str(tmp_path / "b.rec")])
+        src2.set_state(state)
+        rest = [int(e.features["f"][0]) for e in src2]
+        assert seen + rest == list(range(10))
+
+
+class TestRecovery:
+    def test_retries_then_succeeds(self):
+        calls = []
+
+        def fn():
+            calls.append(1)
+            if len(calls) < 3:
+                raise RuntimeError("transient")
+            return {"ok": True}
+
+        out = run_with_recovery(fn, max_retries=5, backoff_s=0.0)
+        assert out["ok"] and len(calls) == 3
+
+    def test_gives_up(self):
+        def fn():
+            raise RuntimeError("always")
+
+        with pytest.raises(RuntimeError):
+            run_with_recovery(fn, max_retries=2, backoff_s=0.0)
+
+    def test_restores_trainer_between_attempts(self, tmp_path):
+        from monolith_tpu.embedding.engine import EngineConfig
+        from monolith_tpu.models.deepfm import DeepFMTask
+        from monolith_tpu.training import checkpoint
+        from monolith_tpu.training.trainer import Trainer, TrainerConfig
+
+        tr = Trainer(DeepFMTask(embedding_dim=8, capacity_per_shard=1024,
+                                hidden=(8,)),
+                     TrainerConfig(engine=EngineConfig(num_shards=1,
+                                                       unique_cap=256,
+                                                       new_cap=256),
+                                   log_every=0))
+        data = SyntheticCTR(num_users=30, num_items=20, batch_size=32, seed=91)
+        it = iter(data)
+        for _ in range(4):
+            fb, b = next(it)
+            tr.train_step(fb, b)
+        checkpoint.save(tr, str(tmp_path))
+        attempts = []
+
+        def fn():
+            attempts.append(1)
+            fb, b = next(it)
+            tr.train_step(fb, b)
+            if len(attempts) == 1:
+                tr.step = 9999  # corrupt, then fail
+                raise RuntimeError("boom")
+            return {"step": tr.step}
+
+        out = run_with_recovery(fn, trainer=tr, ckpt_dir=str(tmp_path),
+                                max_retries=2, backoff_s=0.0)
+        assert out["step"] == 5  # restored to 4, then +1
