@@ -33,7 +33,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from monolith_tpu.embedding import table as table_lib
-from monolith_tpu.embedding.host_store import Batcher, FilterKind, HostStore
+from monolith_tpu.embedding.host_store import (Batcher, Batcher2D,
+                                                FilterKind, HostStore)
 from monolith_tpu.embedding.spec import TableSpec
 from monolith_tpu.feature import FeatureConfig, combine
 
@@ -50,6 +51,19 @@ class EngineConfig:
     unique_cap: int = 4096   # unique ids per table-shard per step
     new_cap: int = 1024      # admissions per table-shard per step
     record_touch: bool = False  # track touched fids for online param sync
+    # embedding exchange for the sharded trainer: "allgather" broadcasts each
+    # shard's unique rows to every device (traffic S*U*D); "a2a" sends each
+    # device only the rows its batch shard needs (traffic S*bucket_cap*D) via
+    # per-(table shard, batch shard) buckets — the reference's alltoall plan
+    # (distributed_ps_sync.py:95)
+    exchange: str = "allgather"
+    bucket_cap: int = 0      # a2a bucket capacity; 0 = 2*unique_cap/num_shards
+
+    @property
+    def effective_bucket_cap(self) -> int:
+        if self.bucket_cap > 0:
+            return self.bucket_cap
+        return max(128, 2 * self.unique_cap // max(self.num_shards, 1))
 
 
 class EmbeddingEngine:
@@ -70,6 +84,7 @@ class EmbeddingEngine:
         S = config.num_shards
         self.stores: Dict[str, List[HostStore]] = {}
         self.batchers: Dict[str, Batcher] = {}
+        self.batchers2d: Dict[str, Batcher2D] = {}
         for name, t in self.tables.items():
             kind = _FILTER_KINDS[t.admission.kind]
             self.stores[name] = [
@@ -81,6 +96,7 @@ class EmbeddingEngine:
                           seed=seed * 1000003 + s)
                 for s in range(S)]
             self.batchers[name] = Batcher(expected_unique=config.unique_cap * S)
+            self.batchers2d[name] = Batcher2D(expected_unique=config.unique_cap * S)
 
     # ------------------------------------------------------------------
     # host side
@@ -131,6 +147,66 @@ class EmbeddingEngine:
             stats["new"][tname] = n_new
             stats["unique"][tname] = int(counts.sum())
             stats["filtered"][tname] = int((rows == -1).sum()) - (S * U - int(counts.sum()))
+        return inputs, stats
+
+    def prepare_batch_a2a(self, fid_batch: Dict[str, np.ndarray], ts: int
+                          ) -> Tuple[Dict, Dict]:
+        """Bucketed-a2a variant of prepare_batch for the sharded trainer.
+
+        Returns per table: {"rows": [S, U], "new_rows": [S, K],
+        "bucket_idx": [S, D, cap] (positions into the shard's unique list),
+        "index": {feature: [B, L] into the local [S*cap] receive buffer}}.
+        Batch size must be divisible by num_shards (D == S == mesh size)."""
+        cfg = self.config
+        S, U, K = cfg.num_shards, cfg.unique_cap, cfg.new_cap
+        D = S
+        cap = cfg.effective_bucket_cap
+        inputs, stats = {}, {"overflow": {}, "new": {}, "unique": {}}
+        for tname, feats in self.table_features.items():
+            if not feats:
+                continue
+            streams = [np.ascontiguousarray(fid_batch[f.name], dtype=np.int64)
+                       for f in feats]
+            B = streams[0].shape[0]
+            assert B % D == 0, f"batch {B} not divisible by {D} shards"
+            rows_per = B // D
+            # batch-shard-major value layout: for each d, all features' fids
+            per_shard_lens = [st.shape[1] * rows_per for st in streams]
+            flat = np.concatenate(
+                [st[d * rows_per:(d + 1) * rows_per].ravel()
+                 for d in range(D) for st in streams])
+            unique, counts, bucket_idx, bucket_counts, index, overflow = \
+                self.batchers2d[tname].dedup(flat, num_batch_shards=D,
+                                             num_shards=S, global_cap=U,
+                                             bucket_cap=cap)
+            rows = np.full((S, U), -1, dtype=np.int32)
+            new_rows = np.full((S, K), -1, dtype=np.int32)
+            n_new = 0
+            for s_i in range(S):
+                c = int(counts[s_i])
+                if c == 0:
+                    continue
+                r, nr, _ = self.stores[tname][s_i].map_train(
+                    unique[s_i, :c], ts=ts, new_cap=K,
+                    record_touch=cfg.record_touch)
+                rows[s_i, :c] = r
+                new_rows[s_i, :len(nr)] = nr
+                n_new += len(nr)
+            # reassemble per-feature index matrices [B, L]
+            idx_per_feature = {f.name: np.empty(st.shape, dtype=np.int32)
+                               for f, st in zip(feats, streams)}
+            pos = 0
+            for d in range(D):
+                for f, st, flen in zip(feats, streams, per_shard_lens):
+                    chunk = index[pos:pos + flen].reshape(rows_per, st.shape[1])
+                    idx_per_feature[f.name][d * rows_per:(d + 1) * rows_per] = chunk
+                    pos += flen
+            inputs[tname] = {"rows": rows, "new_rows": new_rows,
+                             "bucket_idx": bucket_idx,
+                             "index": idx_per_feature}
+            stats["overflow"][tname] = overflow
+            stats["new"][tname] = n_new
+            stats["unique"][tname] = int(counts.sum())
         return inputs, stats
 
     def evict_expired(self, expire_before: int) -> Dict[str, np.ndarray]:

@@ -221,5 +221,52 @@ class Batcher:
         return unique, index, counts, int(overflow)
 
 
+class Batcher2D:
+    """Two-level dedup for the bucketed all-to-all exchange (ref
+    distributed_ps_sync.py:95 per-worker dedup + per-destination buckets):
+    global unique per table shard (for the host map + local lookup) plus
+    per-(table shard, batch shard) buckets of positions into the global
+    unique list."""
+
+    def __init__(self, expected_unique: int = 4096):
+        self._lib = native.get_lib()
+        self._h = self._lib.mt_batcher2d_new(int(expected_unique))
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h:
+            self._lib.mt_batcher2d_free(h)
+            self._h = None
+
+    def dedup(self, values: np.ndarray, num_batch_shards: int, num_shards: int,
+              global_cap: int, bucket_cap: int):
+        """values: flat int64, batch-shard-major, length divisible by
+        num_batch_shards, padding fid == -1.
+
+        Returns (unique [S, global_cap] i64 pad -1, counts [S] i32,
+                 bucket_idx [S, D, bucket_cap] i32 pad -1 — positions into
+                 shard s's unique list, bucket_counts [S, D] i32,
+                 index [n] i32 — per value, index into its batch shard's
+                 local receive buffer [S*bucket_cap], -1 pad/overflow,
+                 overflow count)."""
+        values = np.ascontiguousarray(values, dtype=np.int64).ravel()
+        n = values.size
+        assert n % num_batch_shards == 0
+        S, D = num_shards, num_batch_shards
+        unique = np.empty((S, global_cap), dtype=np.int64)
+        counts = np.empty(S, dtype=np.int32)
+        bucket_idx = np.empty((S, D, bucket_cap), dtype=np.int32)
+        bucket_counts = np.empty((S, D), dtype=np.int32)
+        index = np.empty(n, dtype=np.int32)
+        overflow = self._lib.mt_batcher2d_dedup(
+            self._h, _ptr(values, ctypes.c_int64), n, D, S,
+            global_cap, bucket_cap,
+            _ptr(unique, ctypes.c_int64), _ptr(counts, ctypes.c_int32),
+            _ptr(bucket_idx, ctypes.c_int32),
+            _ptr(bucket_counts, ctypes.c_int32),
+            _ptr(index, ctypes.c_int32))
+        return unique, counts, bucket_idx, bucket_counts, index, int(overflow)
+
+
 def shard_of(fid: int, num_shards: int) -> int:
     return int(native.get_lib().mt_shard_of(int(fid), int(num_shards)))

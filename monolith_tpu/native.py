@@ -83,6 +83,15 @@ def _declare(lib: ctypes.CDLL) -> None:
     d.mt_shard_of.restype = ctypes.c_int32
     d.mt_shard_of.argtypes = [ctypes.c_int64, ctypes.c_int32]
 
+    d.mt_batcher2d_new.restype = ctypes.c_void_p
+    d.mt_batcher2d_new.argtypes = [ctypes.c_int64]
+    d.mt_batcher2d_free.argtypes = [ctypes.c_void_p]
+    d.mt_batcher2d_dedup.restype = ctypes.c_int64
+    d.mt_batcher2d_dedup.argtypes = [
+        ctypes.c_void_p, c_i64_p, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
+        c_i64_p, c_i32_p, c_i32_p, c_i32_p, c_i32_p]
+
 
 def get_lib() -> ctypes.CDLL:
     """Return the loaded native library, building it if needed."""

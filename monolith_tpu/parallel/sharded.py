@@ -77,6 +77,8 @@ class ShardedTrainer(Trainer):
             for t, tin in self._input_template.items()}
 
     def _build_step(self):
+        if self.config.engine.exchange == "a2a":
+            return self._build_step_a2a()
         engine, module, task, cfg = self.engine, self.module, self.task, self.config
         ax = self.axis
         mesh = self.mesh
@@ -161,6 +163,93 @@ class ShardedTrainer(Trainer):
         return jax.tree.map(lambda _: P(ax), self._input_template,
                             is_leaf=lambda x: hasattr(x, "shape"))
 
+    def _build_step_a2a(self):
+        """Bucketed all-to-all exchange (ref distributed_ps_sync.py:95):
+        each table shard gathers only the rows each batch shard asked for
+        (per-destination buckets) and all_to_alls them — traffic
+        S*bucket_cap*D instead of all_gather's S*U*D. Gradients reverse
+        through the same a2a via autodiff."""
+        engine, module, task, cfg = self.engine, self.module, self.task, self.config
+        ax, mesh = self.axis, self.mesh
+        n = mesh.devices.size
+        specs = {t: engine.tables[t] for t in engine.tables}
+        U = cfg.engine.unique_cap
+        cap = cfg.engine.effective_bucket_cap
+
+        def local_step(table_states, params, opt_state, inputs, batch, base_key, stepno):
+            my = jax.lax.axis_index(ax)
+            key = jax.random.fold_in(jax.random.fold_in(base_key, stepno), my)
+
+            new_states = {}
+            for tname, tin in inputs.items():
+                spec = specs[tname]
+                st = jax.tree.map(lambda x: x[0], table_states[tname])
+                st = table_lib.init_rows(spec, st, tin["new_rows"][0], key)
+                new_states[tname] = st
+
+            # local unique rows per shard (not exchanged)
+            uniques = {}
+            for tname, tin in inputs.items():
+                spec = specs[tname]
+                uniques[tname] = table_lib.lookup(spec, new_states[tname],
+                                                  tin["rows"][0])  # [U, D]
+
+            def loss_fn(params, uniques):
+                pooled = {}
+                for tname, tin in inputs.items():
+                    spec = specs[tname]
+                    emb_unique = uniques[tname]
+                    bidx = tin["bucket_idx"][0]  # [D, cap]
+                    safe_b = jnp.where(bidx < 0, jnp.int32(U),
+                                       bidx.astype(jnp.int32))
+                    buckets = emb_unique.at[safe_b].get(
+                        mode="fill", fill_value=0)  # [D, cap, dim]
+                    recv = jax.lax.all_to_all(buckets, ax, split_axis=0,
+                                              concat_axis=0)  # [S, cap, dim]
+                    flat = recv.reshape(n * cap, spec.dim)
+                    for fname, idx in tin["index"].items():
+                        f = engine.features[fname]
+                        safe = jnp.where(idx < 0, jnp.int32(n * cap),
+                                         idx.astype(jnp.int32))
+                        emb = flat.at[safe].get(mode="fill", fill_value=0)
+                        from monolith_tpu.feature import combine
+                        pooled[fname] = combine(emb, idx >= 0, f.combiner)
+                out = module.apply(params, pooled, batch, training=True)
+                loss, aux = task.loss(out, batch)
+                return loss, (out, aux)
+
+            (loss, (out, aux)), (gp, gu) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True)(params, uniques)
+
+            gp = jax.lax.pmean(gp, ax)
+            loss = jax.lax.pmean(loss, ax)
+            if cfg.clip_norm > 0:
+                gp, _ = clip_by_global_norm(gp, cfg.clip_norm)
+            updates, opt_state = self.tx.update(gp, opt_state, params)
+            params = optax.apply_updates(params, updates)
+
+            out_states = {}
+            for tname, tin in inputs.items():
+                spec = specs[tname]
+                # gu already holds the summed grads per local unique row
+                # (reverse a2a + scatter-add generated by autodiff); divide by
+                # n for global-mean loss semantics
+                st = table_lib.apply_gradients(spec, new_states[tname],
+                                               tin["rows"][0],
+                                               gu[tname] / n, stepno)
+                out_states[tname] = jax.tree.map(lambda x: x[None], st)
+
+            preds = task.predictions(out)
+            return out_states, params, opt_state, loss, preds, aux
+
+        state_specs = jax.tree.map(lambda _: P(ax), self.table_states,
+                                   is_leaf=lambda x: hasattr(x, "shape"))
+        in_specs = (state_specs, P(), P(), self._input_specs_pytree(), P(ax), P(), P())
+        out_specs = (state_specs, P(), P(), P(), P(ax), P())
+        fn = jax.shard_map(local_step, mesh=mesh, in_specs=in_specs,
+                           out_specs=out_specs, check_vma=False)
+        return jax.jit(fn, donate_argnums=(0, 1, 2))
+
     def _build_eval(self):
         engine, module, task = self.engine, self.module, self.task
         ax, mesh, n = self.axis, self.mesh, self.mesh.devices.size
@@ -195,7 +284,10 @@ class ShardedTrainer(Trainer):
 
     def train_step(self, fid_batch, batch, ts: Optional[int] = None):
         ts = int(time.time()) if ts is None else ts
-        inputs, stats = self.engine.prepare_batch(fid_batch, ts=ts)
+        if self.config.engine.exchange == "a2a":
+            inputs, stats = self.engine.prepare_batch_a2a(fid_batch, ts=ts)
+        else:
+            inputs, stats = self.engine.prepare_batch(fid_batch, ts=ts)
         self._input_template = inputs
         self._maybe_init(inputs, batch)
         if self._jit_step is None:
