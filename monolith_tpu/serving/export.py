@@ -69,6 +69,43 @@ def export_model(trainer, directory: str, step: Optional[int] = None) -> str:
     return path
 
 
+def write_warmup_data(export_path: str, fid_batches, batches=None,
+                      filename: str = "warmup.rec") -> str:
+    """Write sample predict payloads next to an export (ref
+    model_export/data_gen_utils.py warmup-data generation) so serving can
+    pre-trace/pre-compile before taking traffic. Each record is a codec
+    payload in the same framing used by the agent's Predict method."""
+    import numpy as np
+
+    from monolith_tpu.data.framing import RecordWriter
+    from monolith_tpu.serving import codec
+
+    path = os.path.join(export_path, filename)
+    batches = batches or [{} for _ in fid_batches]
+    with open(path, "wb") as f:
+        w = RecordWriter(f)
+        for fid_batch, batch in zip(fid_batches, batches):
+            payload = {f"fid:{k}": np.asarray(v, np.int64)
+                       for k, v in fid_batch.items()}
+            for k, v in (batch or {}).items():
+                payload[f"batch:{k}"] = np.asarray(v)
+            w.write(codec.pack(payload))
+    return path
+
+
+def read_warmup_data(export_path: str, filename: str = "warmup.rec"):
+    """Yield (fid_batch, batch) pairs from a warmup file."""
+    from monolith_tpu.data.framing import RecordReader
+    from monolith_tpu.serving import codec
+
+    with open(os.path.join(export_path, filename), "rb") as f:
+        for _, payload in RecordReader(f):
+            req = codec.unpack(payload)
+            fid_batch = {k[4:]: v for k, v in req.items() if k.startswith("fid:")}
+            batch = {k[6:]: v for k, v in req.items() if k.startswith("batch:")}
+            yield fid_batch, batch
+
+
 def latest_export(directory: str) -> Optional[str]:
     p = os.path.join(directory, "EXPORT")
     if not os.path.exists(p):

@@ -89,6 +89,70 @@ def save(trainer, directory: str, evict_before_save: bool = False,
     return path
 
 
+def save_delta(trainer, directory: str, since_ts: int,
+               base_step: Optional[int] = None) -> str:
+    """Incremental checkpoint: save only rows whose last update ts >= since_ts
+    (the reference's incremental delta snapshots for realtime training /
+    serving refresh). Layout: <dir>/delta-<step>/<table>-s<k>.npz with
+    (fids, ts, counts, values) — row indices are NOT saved; restore_delta
+    re-assigns rows through the host map.
+    """
+    step = trainer.step
+    path = os.path.join(directory, f"delta-{step}")
+    os.makedirs(path, exist_ok=True)
+    meta = {"step": step, "since_ts": int(since_ts), "base_step": base_step,
+            "ts": int(time.time()), "tables": {}}
+    for tname, spec in trainer.engine.tables.items():
+        state = jax.device_get(trainer.table_states[tname])
+        num_shards = state["params"].shape[0]
+        meta["tables"][tname] = {"shards": num_shards, "dim": spec.dim}
+        for s in range(num_shards):
+            store = trainer.engine.stores[tname][s]
+            fids, rows, tss, counts = store.save()
+            sel = tss >= np.uint32(since_ts)
+            fids, rows, tss, counts = fids[sel], rows[sel], tss[sel], counts[sel]
+            values = (np.asarray(state["params"][s], np.float32)[rows]
+                      if len(rows) else np.zeros((0, spec.dim), np.float32))
+            np.savez(os.path.join(path, f"{tname}-s{s}.npz"),
+                     fids=fids, tss=tss, counts=counts, values=values)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return path
+
+
+def restore_delta(trainer, delta_path: str) -> int:
+    """Apply an incremental checkpoint on top of current state: new ids are
+    admitted through the host map, existing ids overwritten. Optimizer slot
+    state is NOT in deltas (full checkpoints carry it); rows newly admitted
+    here keep freshly-initialized slots."""
+    import jax.numpy as jnp
+    from monolith_tpu.embedding import table as table_lib
+
+    with open(os.path.join(delta_path, "meta.json")) as f:
+        meta = json.load(f)
+    applied = 0
+    for tname, tmeta in meta["tables"].items():
+        spec = trainer.engine.tables[tname]
+        for s in range(tmeta["shards"]):
+            z = np.load(os.path.join(delta_path, f"{tname}-s{s}.npz"))
+            fids = z["fids"]
+            if len(fids) == 0:
+                continue
+            store = trainer.engine.stores[tname][s]
+            rows, _, _ = store.assign(fids, ts=int(meta["ts"]))
+            ok = rows >= 0
+            shard_state = jax.tree.map(lambda x: x[s],
+                                       trainer.table_states[tname])
+            shard_state = table_lib.assign_rows(
+                spec, shard_state, jnp.asarray(rows), jnp.asarray(z["values"]))
+            trainer.table_states[tname] = jax.tree.map(
+                lambda full, sh: full.at[s].set(sh),
+                trainer.table_states[tname], shard_state)
+            applied += int(ok.sum())
+    trainer.step = meta["step"]
+    return applied
+
+
 def latest_step(directory: str) -> Optional[int]:
     p = os.path.join(directory, "CHECKPOINT")
     if not os.path.exists(p):

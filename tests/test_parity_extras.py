@@ -176,3 +176,95 @@ class TestRecovery:
         out = run_with_recovery(fn, trainer=tr, ckpt_dir=str(tmp_path),
                                 max_retries=2, backoff_s=0.0)
         assert out["step"] == 5  # restored to 4, then +1
+
+
+class TestDeltaCheckpoint:
+    def test_delta_roundtrip(self, tmp_path):
+        from monolith_tpu.embedding.engine import EngineConfig
+        from monolith_tpu.models.deepfm import DeepFMTask
+        from monolith_tpu.training import checkpoint
+        from monolith_tpu.training.trainer import Trainer, TrainerConfig
+
+        def mk():
+            return Trainer(DeepFMTask(embedding_dim=8, capacity_per_shard=1024,
+                                      hidden=(8,)),
+                           TrainerConfig(engine=EngineConfig(num_shards=1,
+                                                             unique_cap=256,
+                                                             new_cap=256),
+                                         log_every=0))
+
+        tr = mk()
+        data = SyntheticCTR(num_users=40, num_items=20, batch_size=64, seed=95)
+        it = iter(data)
+        for i in range(5):
+            fb, b = next(it)
+            tr.train_step(fb, b, ts=100 + i)
+        checkpoint.save(tr, str(tmp_path))
+        # more training past the full save
+        for i in range(5):
+            fb, b = next(it)
+            tr.train_step(fb, b, ts=200 + i)
+        delta = checkpoint.save_delta(tr, str(tmp_path), since_ts=200)
+
+        # fresh trainer: full restore + delta apply == live trainer rows
+        tr2 = mk()
+        fb, b = data.batch()
+        inputs, _ = tr2.engine.prepare_batch(fb, ts=0)
+        tr2._maybe_init(inputs, b)
+        checkpoint.restore(tr2, str(tmp_path))
+        applied = checkpoint.restore_delta(tr2, delta)
+        assert applied > 0
+        assert tr2.step == 10
+
+        # every live id's embedding must match
+        import jax
+        fids, _, _, _ = tr.engine.stores["sparse"][0].save()
+        r1 = tr.engine.stores["sparse"][0].lookup(fids)
+        r2 = tr2.engine.stores["sparse"][0].lookup(fids)
+        assert (r2 >= 0).all()
+        p1 = np.asarray(jax.device_get(tr.table_states["sparse"]["params"]))[0][r1]
+        p2 = np.asarray(jax.device_get(tr2.table_states["sparse"]["params"]))[0][r2]
+        np.testing.assert_allclose(p1, p2, rtol=1e-6)
+
+    def test_delta_smaller_than_full(self, tmp_path):
+        import os
+        from monolith_tpu.embedding.engine import EngineConfig
+        from monolith_tpu.models.deepfm import DeepFMTask
+        from monolith_tpu.training import checkpoint
+        from monolith_tpu.training.trainer import Trainer, TrainerConfig
+
+        tr = Trainer(DeepFMTask(embedding_dim=8, capacity_per_shard=8192,
+                                hidden=(8,)),
+                     TrainerConfig(engine=EngineConfig(num_shards=1,
+                                                       unique_cap=2048,
+                                                       new_cap=2048),
+                                   log_every=0))
+        big = SyntheticCTR(num_users=2000, num_items=1000, batch_size=256, seed=96)
+        it = iter(big)
+        for i in range(20):
+            fb, b = next(it)
+            tr.train_step(fb, b, ts=100)
+        # touch only a few ids afterwards
+        small = SyntheticCTR(num_users=10, num_items=5, batch_size=32, seed=97)
+        fb, b = small.batch()
+        tr.train_step(fb, b, ts=500)
+        full = checkpoint.save(tr, str(tmp_path))
+        delta = checkpoint.save_delta(tr, str(tmp_path), since_ts=500)
+
+        def dir_size(p):
+            return sum(os.path.getsize(os.path.join(dp, f))
+                       for dp, _, fs in os.walk(p) for f in fs)
+
+        assert dir_size(delta) < dir_size(full) / 10
+
+
+class TestWarmupData:
+    def test_warmup_roundtrip(self, tmp_path):
+        from monolith_tpu.serving.export import read_warmup_data, write_warmup_data
+        d = str(tmp_path)
+        fb = {"user_id": np.array([[1], [2]], np.int64)}
+        b = {"label": np.zeros(2, np.float32)}
+        write_warmup_data(d, [fb], [b])
+        out = list(read_warmup_data(d))
+        assert len(out) == 1
+        np.testing.assert_array_equal(out[0][0]["user_id"], fb["user_id"])
