@@ -319,14 +319,20 @@ class Store {
   }
 
   // Evict entries with ts < expire_before. Returns count; evicted rows are
-  // written to out_rows (caller zeroes them on device) up to cap.
-  int64_t EvictExpired(uint32_t expire_before, int32_t* out_rows, int64_t cap) {
+  // written to out_rows (caller zeroes them on device) up to cap; if
+  // out_fids is non-null the evicted fids are reported too (for two-tier
+  // spill-to-host-archive).
+  int64_t EvictExpired(uint32_t expire_before, int32_t* out_rows, int64_t cap,
+                       int64_t* out_fids = nullptr) {
     std::lock_guard<std::mutex> g(mu_);
     int64_t n = 0;
     for (uint64_t i = 0; i < table_size_; ++i) {
       Slot& s = slots_[i];
       if (s.fid >= kTombstone + 1 && s.ts < expire_before) {
-        if (n < cap) out_rows[n] = (int32_t)s.row;
+        if (n < cap) {
+          out_rows[n] = (int32_t)s.row;
+          if (out_fids) out_fids[n] = s.fid;
+        }
         ++n;
         free_rows_.push_back(s.row);
         s.fid = kTombstone;
@@ -539,6 +545,13 @@ void mt_store_assign(void* s, const int64_t* fids, int64_t n, uint32_t ts,
 int64_t mt_store_evict_expired(void* s, uint32_t expire_before,
                                int32_t* out_rows, int64_t cap) {
   return static_cast<Store*>(s)->EvictExpired(expire_before, out_rows, cap);
+}
+
+int64_t mt_store_evict_expired2(void* s, uint32_t expire_before,
+                                int32_t* out_rows, int64_t* out_fids,
+                                int64_t cap) {
+  return static_cast<Store*>(s)->EvictExpired(expire_before, out_rows, cap,
+                                              out_fids);
 }
 
 int64_t mt_store_size(void* s) { return static_cast<Store*>(s)->Size(); }

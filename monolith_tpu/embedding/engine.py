@@ -58,6 +58,10 @@ class EngineConfig:
     # (distributed_ps_sync.py:95)
     exchange: str = "allgather"
     bucket_cap: int = 0      # a2a bucket capacity; 0 = 2*unique_cap/num_shards
+    # two-tier storage (SURVEY §7 hard-part b): spill cold rows' full state to
+    # a host-RAM archive on eviction; revive exact state on re-admission
+    tiered: bool = False
+    archive_capacity: int = 0  # rows per shard archive; 0 = 4x table capacity
 
     @property
     def effective_bucket_cap(self) -> int:
@@ -97,6 +101,14 @@ class EmbeddingEngine:
                 for s in range(S)]
             self.batchers[name] = Batcher(expected_unique=config.unique_cap * S)
             self.batchers2d[name] = Batcher2D(expected_unique=config.unique_cap * S)
+        self.archives = {}
+        if config.tiered:
+            from monolith_tpu.embedding.tiered import RowArchive
+            for name, t in self.tables.items():
+                arch_cap = (config.archive_capacity
+                            or 4 * t.capacity_per_shard)
+                self.archives[name] = [RowArchive(t, arch_cap, seed=seed + s)
+                                       for s in range(S)]
 
     # ------------------------------------------------------------------
     # host side
@@ -124,17 +136,29 @@ class EmbeddingEngine:
                 flat, num_shards=S, shard_cap=U)
             rows = np.full((S, U), -1, dtype=np.int32)
             new_rows = np.full((S, K), -1, dtype=np.int32)
+            tiered = cfg.tiered
+            if tiered:
+                from monolith_tpu.embedding.tiered import state_width
+                width = state_width(self.tables[tname])
+                revive_rows = np.full((S, K), -1, dtype=np.int32)
+                revive_values = np.zeros((S, K, width), dtype=np.float32)
             n_new = 0
             for s in range(S):
                 c = int(counts[s])
                 if c == 0:
                     continue
-                r, nr, _ = self.stores[tname][s].map_train(
+                r, nr, nf = self.stores[tname][s].map_train(
                     unique[s, :c], ts=ts, new_cap=K,
                     record_touch=cfg.record_touch)
                 rows[s, :c] = r
                 new_rows[s, :len(nr)] = nr
                 n_new += len(nr)
+                if tiered and len(nf):
+                    ok, vals = self.archives[tname][s].revive(nf)
+                    if ok.any():
+                        k = int(ok.sum())
+                        revive_rows[s, :k] = nr[ok]
+                        revive_values[s, :k] = vals[ok]
             idx_per_feature = {}
             off = 0
             for f, stream in zip(feats, streams):
@@ -143,6 +167,9 @@ class EmbeddingEngine:
                 off += n
             inputs[tname] = {"rows": rows, "new_rows": new_rows,
                              "index": idx_per_feature}
+            if tiered:
+                inputs[tname]["revive_rows"] = revive_rows
+                inputs[tname]["revive_values"] = revive_values
             stats["overflow"][tname] = overflow
             stats["new"][tname] = n_new
             stats["unique"][tname] = int(counts.sum())
@@ -238,15 +265,23 @@ class EmbeddingEngine:
         return {name: stack(spec) for name, spec in self.tables.items()}
 
     def admit_rows(self, states: Dict, inputs: Dict, key: jax.Array) -> Dict:
-        """Initialize newly-admitted rows on device (vmapped over shards)."""
+        """Initialize newly-admitted rows on device (vmapped over shards);
+        in tiered mode, archived state overwrites the fresh init (revive)."""
         out = dict(states)
         for i, (tname, tin) in enumerate(sorted(inputs.items())):
             spec = self.tables[tname]
             tkey = jax.random.fold_in(key, i)
             skeys = jax.random.split(tkey, self.config.num_shards)
-            out[tname] = jax.vmap(
+            st = jax.vmap(
                 lambda st, rows, k: table_lib.init_rows(spec, st, rows, k)
             )(states[tname], jnp.asarray(tin["new_rows"]), skeys)
+            if "revive_rows" in tin:
+                st = jax.vmap(
+                    lambda st, rows, vals: table_lib.restore_packed_rows(
+                        spec, st, rows, vals)
+                )(st, jnp.asarray(tin["revive_rows"]),
+                  jnp.asarray(tin["revive_values"]))
+            out[tname] = st
         return out
 
     def lookup_unique(self, states: Dict, inputs: Dict) -> Dict[str, jnp.ndarray]:

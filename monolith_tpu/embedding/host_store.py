@@ -107,13 +107,20 @@ class HostStore:
         k = int(new_count[0])
         return rows, new_rows[:k], new_fids[:k]
 
-    def evict_expired(self, expire_before: int) -> np.ndarray:
+    def evict_expired(self, expire_before: int, return_fids: bool = False):
         """Evict all entries with last-update ts < expire_before.
 
-        Returns the freed row indices (so the caller can zero them on device).
-        """
+        Returns the freed row indices (so the caller can zero them on
+        device), or (rows, fids) when return_fids=True (two-tier spill)."""
         cap = self.size()
         out = np.empty(max(cap, 1), dtype=np.int32)
+        if return_fids:
+            fids = np.empty(max(cap, 1), dtype=np.int64)
+            n = self._lib.mt_store_evict_expired2(
+                self._h, expire_before, _ptr(out, ctypes.c_int32),
+                _ptr(fids, ctypes.c_int64), cap)
+            n = min(n, cap)
+            return out[:n], fids[:n]
         n = self._lib.mt_store_evict_expired(self._h, expire_before,
                                              _ptr(out, ctypes.c_int32), cap)
         return out[:min(n, cap)]

@@ -128,6 +128,29 @@ def assign_rows(spec: TableSpec, state: TableState, rows: jnp.ndarray,
     return {"params": params, "slots": state["slots"]}
 
 
+def restore_packed_rows(spec: TableSpec, state: TableState, rows: jnp.ndarray,
+                        packed: jnp.ndarray) -> TableState:
+    """Write full row state (params + optimizer slots) from a packed [k,
+    width] value matrix — the two-tier revive path (embedding/tiered.py).
+    Column layout matches tiered.pack_rows: params, then each segment's slot
+    arrays in sorted-name order."""
+    rows = _sanitize(rows, spec.capacity_per_shard)
+    off = spec.dim
+    params = state["params"].at[rows].set(
+        packed[:, :off].astype(spec.dtype), mode="drop")
+    new_slots = []
+    for seg, seg_slots in zip(spec.segments, state["slots"]):
+        d = {}
+        for name in sorted(seg_slots):
+            k = seg.optimizer.slot_spec(seg.dim)[name][0]
+            d[name] = seg_slots[name].at[rows].set(
+                packed[:, off:off + k].astype(seg_slots[name].dtype),
+                mode="drop")
+            off += k
+        new_slots.append(d)
+    return {"params": params, "slots": new_slots}
+
+
 def slot_arrays(state: TableState) -> List[Tuple[str, jnp.ndarray]]:
     """Flat (name, array) list of optimizer state, for checkpointing."""
     out = []

@@ -54,6 +54,8 @@ def _declare(lib: ctypes.CDLL) -> None:
         c_i32_p, c_i32_p, c_i64_p, ctypes.c_int64, c_i64_p]
     d.mt_store_evict_expired.restype = ctypes.c_int64
     d.mt_store_evict_expired.argtypes = [ctypes.c_void_p, ctypes.c_uint32, c_i32_p, ctypes.c_int64]
+    d.mt_store_evict_expired2.restype = ctypes.c_int64
+    d.mt_store_evict_expired2.argtypes = [ctypes.c_void_p, ctypes.c_uint32, c_i32_p, c_i64_p, ctypes.c_int64]
     d.mt_store_size.restype = ctypes.c_int64
     d.mt_store_size.argtypes = [ctypes.c_void_p]
     d.mt_store_save.restype = ctypes.c_int64

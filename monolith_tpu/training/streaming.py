@@ -107,9 +107,14 @@ class StreamingTrainer:
                 ckpt_lib.save(t, cfg.ckpt_dir)
             if cfg.evict_interval_steps and n % cfg.evict_interval_steps == 0:
                 now = int(time.time())
-                for spec in t.engine.tables.values():
-                    if spec.eviction.ttl_seconds > 0:
-                        t.engine.evict_expired(now - spec.eviction.ttl_seconds)
+                ttl = max((spec.eviction.ttl_seconds
+                           for spec in t.engine.tables.values()
+                           if spec.eviction.ttl_seconds > 0), default=0)
+                if ttl:
+                    if t.config.engine.tiered:
+                        t.spill_expired(now - ttl)  # spill to host archive
+                    else:
+                        t.engine.evict_expired(now - ttl)
             if max_steps is not None and n >= max_steps:
                 break
         # final flush

@@ -137,6 +137,28 @@ class Trainer:
                 self._drain_metrics()
         return {"loss": loss, "preds": preds, "stats": stats, "aux": aux}
 
+    def spill_expired(self, expire_before: int) -> Dict[str, int]:
+        """Two-tier eviction: read expiring rows' full state from the device
+        pools into the host archive, then free the HBM rows (engine must be
+        configured with tiered=True). Returns spilled counts per table."""
+        if not self.config.engine.tiered:
+            raise ValueError("spill_expired requires EngineConfig(tiered=True)")
+        from monolith_tpu.embedding.tiered import pack_rows
+        out = {}
+        for tname, spec in self.engine.tables.items():
+            state = jax.device_get(self.table_states[tname])
+            n = 0
+            for s, store in enumerate(self.engine.stores[tname]):
+                rows, fids = store.evict_expired(expire_before, return_fids=True)
+                if len(rows) == 0:
+                    continue
+                shard_state = jax.tree.map(lambda x: x[s], state)
+                values = pack_rows(spec, shard_state, rows)
+                n += self.engine.archives[tname][s].spill(fids, values,
+                                                          ts=expire_before)
+            out[tname] = n
+        return out
+
     def _drain_metrics(self):
         for loss, preds, labels in self._pending_metrics:
             self.auc.update(np.asarray(preds), labels)
