@@ -108,7 +108,8 @@ class Estimator:
             if self.trainer._jit_eval is None:
                 self.trainer._jit_eval = self.trainer._build_eval()
             _, preds, _ = self.trainer._jit_eval(
-                self.trainer.table_states, self.trainer.params, inputs,
+                self.trainer.table_states, self.trainer.params,
+                self.trainer.model_state, inputs,
                 {k: jnp.asarray(v) for k, v in batch.items()})
             yield np.asarray(preds)
 

@@ -86,7 +86,8 @@ class ShardedTrainer(Trainer):
         specs = {t: engine.tables[t] for t in engine.tables}
         U = cfg.engine.unique_cap
 
-        def local_step(table_states, params, opt_state, inputs, batch, base_key, stepno):
+        def local_step(table_states, params, model_state, opt_state, inputs,
+                       batch, base_key, stepno):
             # Everything here is per-device: table_states arrays [1, cap, ...],
             # inputs rows [1, U], index/batch sharded on batch axis.
             my = jax.lax.axis_index(ax)
@@ -119,12 +120,14 @@ class ShardedTrainer(Trainer):
                         emb = buf.at[safe].get(mode="fill", fill_value=0)
                         from monolith_tpu.feature import combine
                         pooled[fname] = combine(emb, idx >= 0, f.combiner)
-                out = module.apply(params, pooled, batch, training=True)
+                out, new_ms = self._apply(params, model_state, pooled, batch,
+                                          training=True)
                 loss, aux = task.loss(out, batch)
-                return loss, (out, aux)
+                return loss, (out, aux, new_ms)
 
-            (loss, (out, aux)), (gp, gemb) = jax.value_and_grad(
+            (loss, (out, aux, new_ms)), (gp, gemb) = jax.value_and_grad(
                 loss_fn, argnums=(0, 1), has_aux=True)(params, gathered)
+            new_ms = jax.tree.map(lambda x: jax.lax.pmean(x, ax), new_ms)
 
             # dense: data-parallel mean of local-mean grads == global mean
             gp = jax.lax.pmean(gp, ax)
@@ -147,16 +150,17 @@ class ShardedTrainer(Trainer):
                 out_states[tname] = jax.tree.map(lambda x: x[None], st)
 
             preds = task.predictions(out)
-            return out_states, params, opt_state, loss, preds, aux
+            return out_states, params, new_ms, opt_state, loss, preds, aux
 
         state_specs = jax.tree.map(lambda _: P(ax), self.table_states,
                                    is_leaf=lambda x: hasattr(x, "shape"))
-        in_specs = (state_specs, P(), P(), self._input_specs_pytree(), P(ax), P(), P())
-        out_specs = (state_specs, P(), P(), P(), P(ax), P())
+        in_specs = (state_specs, P(), P(), P(), self._input_specs_pytree(),
+                    P(ax), P(), P())
+        out_specs = (state_specs, P(), P(), P(), P(), P(ax), P())
 
         fn = jax.shard_map(local_step, mesh=mesh, in_specs=in_specs,
                            out_specs=out_specs, check_vma=False)
-        return jax.jit(fn, donate_argnums=(0, 1, 2))
+        return jax.jit(fn, donate_argnums=(0, 1, 2, 3))
 
     def _input_specs_pytree(self):
         ax = self.axis
@@ -176,7 +180,8 @@ class ShardedTrainer(Trainer):
         U = cfg.engine.unique_cap
         cap = cfg.engine.effective_bucket_cap
 
-        def local_step(table_states, params, opt_state, inputs, batch, base_key, stepno):
+        def local_step(table_states, params, model_state, opt_state, inputs,
+                       batch, base_key, stepno):
             my = jax.lax.axis_index(ax)
             key = jax.random.fold_in(jax.random.fold_in(base_key, stepno), my)
 
@@ -214,12 +219,14 @@ class ShardedTrainer(Trainer):
                         emb = flat.at[safe].get(mode="fill", fill_value=0)
                         from monolith_tpu.feature import combine
                         pooled[fname] = combine(emb, idx >= 0, f.combiner)
-                out = module.apply(params, pooled, batch, training=True)
+                out, new_ms = self._apply(params, model_state, pooled, batch,
+                                          training=True)
                 loss, aux = task.loss(out, batch)
-                return loss, (out, aux)
+                return loss, (out, aux, new_ms)
 
-            (loss, (out, aux)), (gp, gu) = jax.value_and_grad(
+            (loss, (out, aux, new_ms)), (gp, gu) = jax.value_and_grad(
                 loss_fn, argnums=(0, 1), has_aux=True)(params, uniques)
+            new_ms = jax.tree.map(lambda x: jax.lax.pmean(x, ax), new_ms)
 
             gp = jax.lax.pmean(gp, ax)
             loss = jax.lax.pmean(loss, ax)
@@ -240,15 +247,16 @@ class ShardedTrainer(Trainer):
                 out_states[tname] = jax.tree.map(lambda x: x[None], st)
 
             preds = task.predictions(out)
-            return out_states, params, opt_state, loss, preds, aux
+            return out_states, params, new_ms, opt_state, loss, preds, aux
 
         state_specs = jax.tree.map(lambda _: P(ax), self.table_states,
                                    is_leaf=lambda x: hasattr(x, "shape"))
-        in_specs = (state_specs, P(), P(), self._input_specs_pytree(), P(ax), P(), P())
-        out_specs = (state_specs, P(), P(), P(), P(ax), P())
+        in_specs = (state_specs, P(), P(), P(), self._input_specs_pytree(),
+                    P(ax), P(), P())
+        out_specs = (state_specs, P(), P(), P(), P(), P(ax), P())
         fn = jax.shard_map(local_step, mesh=mesh, in_specs=in_specs,
                            out_specs=out_specs, check_vma=False)
-        return jax.jit(fn, donate_argnums=(0, 1, 2))
+        return jax.jit(fn, donate_argnums=(0, 1, 2, 3))
 
     def _build_eval(self):
         engine, module, task = self.engine, self.module, self.task
@@ -256,7 +264,7 @@ class ShardedTrainer(Trainer):
         specs = {t: engine.tables[t] for t in engine.tables}
         U = self.config.engine.unique_cap
 
-        def local_eval(table_states, params, inputs, batch):
+        def local_eval(table_states, params, model_state, inputs, batch):
             pooled = {}
             for tname, tin in inputs.items():
                 spec = specs[tname]
@@ -269,14 +277,16 @@ class ShardedTrainer(Trainer):
                     emb = buf.at[safe].get(mode="fill", fill_value=0)
                     from monolith_tpu.feature import combine
                     pooled[fname] = combine(emb, idx >= 0, f.combiner)
-            out = module.apply(params, pooled, batch, training=False)
+            out, _ = self._apply(params, model_state, pooled, batch,
+                                 training=False)
             loss, aux = task.loss(out, batch)
             return jax.lax.pmean(loss, ax), task.predictions(out), aux
 
         state_specs = jax.tree.map(lambda _: P(ax), self.table_states,
                                    is_leaf=lambda x: hasattr(x, "shape"))
         fn = jax.shard_map(local_eval, mesh=mesh,
-                           in_specs=(state_specs, P(), self._input_specs_pytree(), P(ax)),
+                           in_specs=(state_specs, P(), P(),
+                                     self._input_specs_pytree(), P(ax)),
                            out_specs=(P(), P(ax), P()), check_vma=False)
         return jax.jit(fn)
 
@@ -294,9 +304,11 @@ class ShardedTrainer(Trainer):
             self._jit_step = self._build_step()
         if self._base_key is None:
             self._base_key = jax.random.PRNGKey(self.config.seed)
-        (self.table_states, self.params, self.opt_state, loss, preds, aux
-         ) = self._jit_step(self.table_states, self.params, self.opt_state,
-                            inputs, batch, self._base_key, np.int32(self.step))
+        (self.table_states, self.params, self.model_state, self.opt_state,
+         loss, preds, aux
+         ) = self._jit_step(self.table_states, self.params, self.model_state,
+                            self.opt_state, inputs, batch, self._base_key,
+                            np.int32(self.step))
         self.step += 1
         if self.config.metrics_enabled and "label" in batch:
             self._pending_metrics.append((loss, preds, batch["label"]))
@@ -317,7 +329,7 @@ class ShardedTrainer(Trainer):
                 self._jit_eval = self._build_eval()
             batch_j = {k: jnp.asarray(v) for k, v in batch.items()}
             loss, preds, _ = self._jit_eval(self.table_states, self.params,
-                                            inputs, batch_j)
+                                            self.model_state, inputs, batch_j)
             auc.update(np.asarray(preds), batch["label"])
             loss_mean.update(float(loss))
         return {"auc": auc.result(), "loss": loss_mean.result()}

@@ -47,6 +47,12 @@ class ServingModel:
             dense_bytes = f.read()
         self.params = None  # template built lazily on first predict
         self._dense_bytes = dense_bytes
+        ms_path = os.path.join(export_path, "model_state.msgpack")
+        self._model_state_bytes = None
+        if os.path.exists(ms_path):
+            with open(ms_path, "rb") as f:
+                self._model_state_bytes = f.read()
+        self.model_state = {}
 
         self.stores: Dict[str, HostStore] = {}
         self.pools: Dict[str, jnp.ndarray] = {}
@@ -143,10 +149,16 @@ class ServingModel:
                     f = self.features[fname]
                     emb = jnp.zeros((*idx.shape, spec.dim), jnp.float32)
                     pooled[fname] = combine(emb, jnp.asarray(idx) >= 0, f.combiner)
-            template = self.module.init(key, pooled,
-                                        {k: jnp.asarray(v) for k, v in batch.items()},
-                                        training=False)
-            self.params = serialization.from_bytes(template, self._dense_bytes)
+            template = dict(self.module.init(
+                key, pooled, {k: jnp.asarray(v) for k, v in batch.items()},
+                training=False))
+            params_t = template.pop("params")
+            self.model_state = template
+            if self._model_state_bytes and template:
+                self.model_state = serialization.from_bytes(
+                    template, self._model_state_bytes)
+            self.params = {"params": serialization.from_bytes(
+                params_t, self._dense_bytes), **self.model_state}
         if self._jit_fwd is None:
             self._jit_fwd = jax.jit(self._forward)
         with self._lock:
@@ -175,7 +187,8 @@ class ServingModel:
     def reload_dense(self, dense_bytes: bytes) -> None:
         """Hot-swap dense params (the reference's dense-only fast ckpt path)."""
         if self.params is not None:
-            self.params = serialization.from_bytes(self.params, dense_bytes)
+            new_p = serialization.from_bytes(self.params["params"], dense_bytes)
+            self.params = {"params": new_p, **self.model_state}
         else:
             self._dense_bytes = dense_bytes
 

@@ -37,6 +37,9 @@ def export_model(trainer, directory: str, step: Optional[int] = None) -> str:
 
     with open(os.path.join(path, "dense.msgpack"), "wb") as f:
         f.write(serialization.to_bytes(jax.device_get(trainer.params)))
+    if getattr(trainer, "model_state", None):
+        with open(os.path.join(path, "model_state.msgpack"), "wb") as f:
+            f.write(serialization.to_bytes(jax.device_get(trainer.model_state)))
 
     meta = {"step": step, "ts": int(time.time()), "tables": {}}
     for tname, spec in trainer.engine.tables.items():

@@ -57,6 +57,10 @@ def save(trainer, directory: str, evict_before_save: bool = False,
             f.write(serialization.to_bytes(jax.device_get(trainer.params)))
         with open(os.path.join(path, "opt_state.msgpack"), "wb") as f:
             f.write(serialization.to_bytes(jax.device_get(trainer.opt_state)))
+        if getattr(trainer, "model_state", None):
+            with open(os.path.join(path, "model_state.msgpack"), "wb") as f:
+                f.write(serialization.to_bytes(
+                    jax.device_get(trainer.model_state)))
 
     meta = {"step": step, "ts": int(time.time()), "dense_only": dense_only,
             "tables": {}}
@@ -183,6 +187,11 @@ def restore(trainer, directory: str, step: Optional[int] = None) -> int:
             trainer.params = serialization.from_bytes(trainer.params, f.read())
         with open(os.path.join(path, "opt_state.msgpack"), "rb") as f:
             trainer.opt_state = serialization.from_bytes(trainer.opt_state, f.read())
+        ms_path = os.path.join(path, "model_state.msgpack")
+        if os.path.exists(ms_path) and getattr(trainer, "model_state", None):
+            with open(ms_path, "rb") as f:
+                trainer.model_state = serialization.from_bytes(
+                    trainer.model_state, f.read())
 
     if not meta.get("dense_only"):
         for tname, tmeta in meta["tables"].items():

@@ -52,6 +52,7 @@ class Trainer:
         self.tx = task.dense_optimizer()
         self.table_states = self.engine.create_states()
         self.params = None
+        self.model_state = {}  # non-param flax collections (batch_stats, ...)
         self.opt_state = None
         self.step = 0
         self._jit_step = None
@@ -68,24 +69,39 @@ class Trainer:
             return
         key = jax.random.PRNGKey(self.config.seed)
         pooled, _ = self.engine.embed(self.table_states, inputs)
-        self.params = self.module.init(key, pooled, batch, training=True)
+        variables = self.module.init(key, pooled, batch, training=True)
+        variables = dict(variables)
+        self.params = variables.pop("params")
+        self.model_state = variables  # e.g. {"batch_stats": ...}
         self.opt_state = self.tx.init(self.params)
+
+    def _apply(self, params, model_state, pooled, batch, training):
+        """module.apply threading non-param collections (BatchNorm etc.).
+        Returns (outputs, new_model_state)."""
+        variables = {"params": params, **model_state}
+        if model_state and training:
+            return self.module.apply(variables, pooled, batch, training=True,
+                                     mutable=list(model_state))
+        out = self.module.apply(variables, pooled, batch, training=training)
+        return out, model_state
 
     def _build_step(self):
         engine, module, task, cfg = self.engine, self.module, self.task, self.config
 
-        def step_fn(table_states, params, opt_state, inputs, batch, base_key, stepno):
+        def step_fn(table_states, params, model_state, opt_state, inputs,
+                    batch, base_key, stepno):
             key = jax.random.fold_in(base_key, stepno)
             table_states = engine.admit_rows(table_states, inputs, key)
             unique = engine.lookup_unique(table_states, inputs)
 
             def loss_fn(params, unique):
                 pooled = engine.pool_features(unique, inputs)
-                out = module.apply(params, pooled, batch, training=True)
+                out, new_ms = self._apply(params, model_state, pooled, batch,
+                                          training=True)
                 loss, aux = task.loss(out, batch)
-                return loss, (out, aux)
+                return loss, (out, aux, new_ms)
 
-            (loss, (out, aux)), (gp, gu) = jax.value_and_grad(
+            (loss, (out, aux, new_ms)), (gp, gu) = jax.value_and_grad(
                 loss_fn, argnums=(0, 1), has_aux=True)(params, unique)
             if cfg.clip_norm > 0:
                 gp, _ = clip_by_global_norm(gp, cfg.clip_norm)
@@ -93,16 +109,17 @@ class Trainer:
             params = optax.apply_updates(params, updates)
             table_states = engine.apply_gradients(table_states, inputs, gu, stepno)
             preds = task.predictions(out)
-            return table_states, params, opt_state, loss, preds, aux
+            return table_states, params, new_ms, opt_state, loss, preds, aux
 
-        return jax.jit(step_fn, donate_argnums=(0, 1, 2))
+        return jax.jit(step_fn, donate_argnums=(0, 1, 2, 3))
 
     def _build_eval(self):
         engine, module, task = self.engine, self.module, self.task
 
-        def eval_fn(table_states, params, inputs, batch):
+        def eval_fn(table_states, params, model_state, inputs, batch):
             pooled, _ = engine.embed(table_states, inputs)
-            out = module.apply(params, pooled, batch, training=False)
+            out, _ = self._apply(params, model_state, pooled, batch,
+                                 training=False)
             loss, aux = task.loss(out, batch)
             return loss, task.predictions(out), aux
 
@@ -126,9 +143,10 @@ class Trainer:
         # the jitted program, batch/inputs are numpy (transferred as call
         # args), and metric syncs are deferred — small host-side ops each
         # cost a full dispatch round trip on remote-attached TPUs.
-        (self.table_states, self.params, self.opt_state, loss, preds, aux
-         ) = self._jit_step(self.table_states, self.params, self.opt_state,
-                            inputs, batch, self._base_key,
+        (self.table_states, self.params, self.model_state, self.opt_state,
+         loss, preds, aux
+         ) = self._jit_step(self.table_states, self.params, self.model_state,
+                            self.opt_state, inputs, batch, self._base_key,
                             np.int32(self.step))
         self.step += 1
         if self.config.metrics_enabled and "label" in batch:
@@ -177,7 +195,7 @@ class Trainer:
             self._maybe_init(inputs, batch)
             batch_j = {k: jnp.asarray(v) for k, v in batch.items()}
             loss, preds, _ = self._jit_eval(self.table_states, self.params,
-                                            inputs, batch_j)
+                                            self.model_state, inputs, batch_j)
             auc.update(np.asarray(preds), batch["label"])
             loss_mean.update(float(loss))
         return {"auc": auc.result(), "loss": loss_mean.result()}

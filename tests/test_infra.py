@@ -215,3 +215,60 @@ class TestModelDump:
         assert "sparse" in d["tables"]
         assert d["dense_param_count"] > 0
         assert "Adagrad" in s
+
+
+class TestBatchNormSupport:
+    """Models with mutable flax collections (BatchNorm batch_stats) must work
+    in train/eval/ckpt (the reference's layers/norms.py BatchNorm usage)."""
+
+    def test_batchnorm_model_trains_and_checkpoints(self, tmp_path):
+        import dataclasses
+        import flax.linen as nn
+
+        class BNModule(nn.Module):
+            @nn.compact
+            def __call__(self, pooled, batch, training=False):
+                import jax.numpy as jnp
+                x = jnp.concatenate([pooled["user_id"], pooled["item_id"],
+                                     pooled["hist_items"]], axis=1)
+                x = nn.Dense(16)(x)
+                x = nn.BatchNorm(use_running_average=not training)(x)
+                x = nn.relu(x)
+                return {"logits": nn.Dense(1)(x)[:, 0]}
+
+        @dataclasses.dataclass
+        class BNTask(DeepFMTask):
+            def build_module(self):
+                return BNModule()
+
+        task = BNTask(embedding_dim=8, capacity_per_shard=2048)
+        tr = Trainer(task, TrainerConfig(
+            engine=EngineConfig(num_shards=1, unique_cap=512, new_cap=512),
+            log_every=0))
+        data = SyntheticCTR(num_users=50, num_items=30, batch_size=128, seed=77)
+        it = iter(data)
+        for _ in range(10):
+            fb, b = next(it)
+            out = tr.train_step(fb, b)
+        assert "batch_stats" in tr.model_state
+        import jax
+        stats = jax.device_get(tr.model_state["batch_stats"])
+        mean_leaf = jax.tree.leaves(stats)[0]
+        assert np.abs(mean_leaf).sum() > 0  # running stats updated
+
+        ev = tr.evaluate(iter(data), max_steps=3)
+        assert np.isfinite(ev["loss"])
+
+        # checkpoint roundtrip carries batch_stats
+        from monolith_tpu.training import checkpoint
+        checkpoint.save(tr, str(tmp_path))
+        tr2 = Trainer(task, TrainerConfig(
+            engine=EngineConfig(num_shards=1, unique_cap=512, new_cap=512),
+            log_every=0))
+        fb, b = data.batch()
+        inputs, _ = tr2.engine.prepare_batch(fb, ts=0)
+        tr2._maybe_init(inputs, b)
+        checkpoint.restore(tr2, str(tmp_path))
+        stats2 = jax.device_get(tr2.model_state["batch_stats"])
+        np.testing.assert_allclose(jax.tree.leaves(stats2)[0], mean_leaf,
+                                   rtol=1e-6)

@@ -66,7 +66,7 @@ class TestExportServe:
             trainer._jit_eval = trainer._build_eval()
         import jax.numpy as jnp
         _, train_preds, _ = trainer._jit_eval(
-            trainer.table_states, trainer.params, inputs,
+            trainer.table_states, trainer.params, trainer.model_state, inputs,
             {k: jnp.asarray(v) for k, v in b.items()})
         np.testing.assert_allclose(serving_preds, np.asarray(train_preds),
                                    rtol=1e-4, atol=1e-5)
@@ -169,8 +169,8 @@ class TestRealtime:
                 trainer._jit_eval = trainer._build_eval()
             import jax.numpy as jnp
             _, train_preds, _ = trainer._jit_eval(
-                trainer.table_states, trainer.params, inputs,
-                {k: jnp.asarray(v) for k, v in b.items()})
+                trainer.table_states, trainer.params, trainer.model_state,
+                inputs, {k: jnp.asarray(v) for k, v in b.items()})
             # dense params differ (serving has the export-time tower), but
             # sparse rows are synced: correlation must be high
             corr = np.corrcoef(serving_preds, np.asarray(train_preds))[0, 1]
