@@ -208,17 +208,29 @@ class EmbeddingEngine:
                                              bucket_cap=cap)
             rows = np.full((S, U), -1, dtype=np.int32)
             new_rows = np.full((S, K), -1, dtype=np.int32)
+            tiered = cfg.tiered
+            if tiered:
+                from monolith_tpu.embedding.tiered import state_width
+                width = state_width(self.tables[tname])
+                revive_rows = np.full((S, K), -1, dtype=np.int32)
+                revive_values = np.zeros((S, K, width), dtype=np.float32)
             n_new = 0
             for s_i in range(S):
                 c = int(counts[s_i])
                 if c == 0:
                     continue
-                r, nr, _ = self.stores[tname][s_i].map_train(
+                r, nr, nf = self.stores[tname][s_i].map_train(
                     unique[s_i, :c], ts=ts, new_cap=K,
                     record_touch=cfg.record_touch)
                 rows[s_i, :c] = r
                 new_rows[s_i, :len(nr)] = nr
                 n_new += len(nr)
+                if tiered and len(nf):
+                    ok, vals = self.archives[tname][s_i].revive(nf)
+                    if ok.any():
+                        k = int(ok.sum())
+                        revive_rows[s_i, :k] = nr[ok]
+                        revive_values[s_i, :k] = vals[ok]
             # reassemble per-feature index matrices [B, L]
             idx_per_feature = {f.name: np.empty(st.shape, dtype=np.int32)
                                for f, st in zip(feats, streams)}
@@ -231,6 +243,9 @@ class EmbeddingEngine:
             inputs[tname] = {"rows": rows, "new_rows": new_rows,
                              "bucket_idx": bucket_idx,
                              "index": idx_per_feature}
+            if tiered:
+                inputs[tname]["revive_rows"] = revive_rows
+                inputs[tname]["revive_values"] = revive_values
             stats["overflow"][tname] = overflow
             stats["new"][tname] = n_new
             stats["unique"][tname] = int(counts.sum())

@@ -68,14 +68,6 @@ class ShardedTrainer(Trainer):
 
     # -- sharding specs ------------------------------------------------
 
-    def _input_specs(self):
-        """inputs pytree: rows/new_rows [S, ...] -> P('d'); index [B, L] -> P('d')."""
-        ax = self.axis
-        return {
-            t: {"rows": P(ax), "new_rows": P(ax),
-                "index": {f: P(ax) for f in tin["index"]}}
-            for t, tin in self._input_template.items()}
-
     def _build_step(self):
         if self.config.engine.exchange == "a2a":
             return self._build_step_a2a()
@@ -93,12 +85,16 @@ class ShardedTrainer(Trainer):
             my = jax.lax.axis_index(ax)
             key = jax.random.fold_in(jax.random.fold_in(base_key, stepno), my)
 
-            # admit new rows into the local shard
+            # admit new rows into the local shard (+ tiered revive)
             new_states = {}
             for tname, tin in inputs.items():
                 spec = specs[tname]
                 st = jax.tree.map(lambda x: x[0], table_states[tname])
                 st = table_lib.init_rows(spec, st, tin["new_rows"][0], key)
+                if "revive_rows" in tin:
+                    st = table_lib.restore_packed_rows(
+                        spec, st, tin["revive_rows"][0],
+                        tin["revive_values"][0])
                 new_states[tname] = st
 
             # local lookup + all_gather (fwd "alltoall")
@@ -190,6 +186,10 @@ class ShardedTrainer(Trainer):
                 spec = specs[tname]
                 st = jax.tree.map(lambda x: x[0], table_states[tname])
                 st = table_lib.init_rows(spec, st, tin["new_rows"][0], key)
+                if "revive_rows" in tin:
+                    st = table_lib.restore_packed_rows(
+                        spec, st, tin["revive_rows"][0],
+                        tin["revive_values"][0])
                 new_states[tname] = st
 
             # local unique rows per shard (not exchanged)

@@ -121,6 +121,77 @@ class TestTieredTraining:
         assert ok.all()
         np.testing.assert_allclose(vals, packed_before, rtol=1e-6)
 
+    def _sharded_tiered(self, exchange):
+        from monolith_tpu.parallel import ShardedTrainer, make_mesh
+        task = DeepFMTask(embedding_dim=8, capacity_per_shard=64, hidden=(8,),
+                          ttl_seconds=3600)
+        cfg = TrainerConfig(engine=EngineConfig(
+            num_shards=8, unique_cap=64, new_cap=64, tiered=True,
+            exchange=exchange), log_every=0)
+        tr = ShardedTrainer(task, cfg, make_mesh(8))
+        fids = np.arange(1, 9, dtype=np.int64)[:, None]
+        fb = {"user_id": fids, "item_id": fids + 100,
+              "hist_items": np.full((8, 10), -1, np.int64)}
+        b = {"label": np.ones(8, np.float32)}
+        for _ in range(4):
+            tr.train_step(fb, b, ts=100)
+        spilled = tr.spill_expired(expire_before=200)
+        assert spilled["sparse"] == 16
+        # overwrite the freed rows with other ids, then bring the originals
+        # back; the archive must revive all 16 with exact state
+        other = np.arange(1000, 1008, dtype=np.int64)[:, None]
+        fb2 = {"user_id": other, "item_id": other + 100,
+               "hist_items": np.full((8, 10), -1, np.int64)}
+        tr.train_step(fb2, b, ts=300)
+        tr.train_step(fb, b, ts=400)
+        revived = sum(a.revived for a in tr.engine.archives["sparse"])
+        assert revived == 16
+        out = tr.train_step(fb, b, ts=400)
+        assert np.isfinite(float(out["loss"]))
+
+    def test_sharded_allgather_spill_revive(self):
+        self._sharded_tiered("allgather")
+
+    def test_sharded_a2a_spill_revive(self):
+        self._sharded_tiered("a2a")
+
+    def test_sharded_revive_restores_exact_state(self):
+        """After spill + revive on the sharded path, packed row state must
+        round-trip exactly (params + optimizer slots)."""
+        from monolith_tpu.parallel import ShardedTrainer, make_mesh
+        task = DeepFMTask(embedding_dim=8, capacity_per_shard=64, hidden=(8,),
+                          ttl_seconds=3600)
+        cfg = TrainerConfig(engine=EngineConfig(
+            num_shards=8, unique_cap=64, new_cap=64, tiered=True),
+            log_every=0)
+        tr = ShardedTrainer(task, cfg, make_mesh(8))
+        fids = np.arange(1, 9, dtype=np.int64)[:, None]
+        fb = {"user_id": fids, "item_id": fids + 100,
+              "hist_items": np.full((8, 10), -1, np.int64)}
+        b = {"label": np.ones(8, np.float32)}
+        for _ in range(3):
+            tr.train_step(fb, b, ts=100)
+        spec = tr.engine.tables["sparse"]
+        # capture packed state of every live id per shard
+        before = {}
+        state = jax.device_get(tr.table_states["sparse"])
+        for s, store in enumerate(tr.engine.stores["sparse"]):
+            sf, srows, _, _ = store.save()
+            if len(sf):
+                packed = pack_rows(spec, jax.tree.map(lambda x: x[s], state),
+                                   srows)
+                for f, p in zip(sf, packed):
+                    before[int(f)] = p
+        tr.spill_expired(expire_before=200)
+        # archives hold the exact packed state
+        for s, arch in enumerate(tr.engine.archives["sparse"]):
+            af, _, _, _ = arch.map.save()
+            if len(af):
+                ok, vals = arch.revive(af)
+                assert ok.all()
+                for f, v in zip(af, vals):
+                    np.testing.assert_allclose(v, before[int(f)], rtol=1e-6)
+
     def test_working_set_larger_than_pool(self):
         # pool of 64 rows; stream 300 distinct ids in waves with spills
         tr = make_trainer(capacity=64)
