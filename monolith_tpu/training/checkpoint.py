@@ -199,10 +199,9 @@ def restore(trainer, directory: str, step: Optional[int] = None) -> int:
             state = jax.device_get(trainer.table_states[tname])
             cur_shards = state["params"].shape[0]
             if tmeta["shards"] != cur_shards:
-                raise ValueError(
-                    f"checkpoint for table '{tname}' has {tmeta['shards']} "
-                    f"shards but trainer is configured with {cur_shards}; "
-                    f"resharding on restore is not supported yet")
+                _restore_resharded(trainer, tname, spec, path,
+                                   tmeta["shards"], cur_shards, state)
+                continue
             pools, slot_stacks = [], {}
             for s in range(tmeta["shards"]):
                 z = np.load(os.path.join(_tables_dir(path), f"{tname}-s{s}.npz"))
@@ -222,7 +221,105 @@ def restore(trainer, directory: str, step: Optional[int] = None) -> int:
                 for name in seg_slots:
                     d[name] = jnp.asarray(np.stack(slot_stacks[f"seg{i}/{name}"]))
                 new_state["slots"].append(d)
-            trainer.table_states[tname] = new_state
+            trainer.table_states[tname] = _place_like_trainer(trainer, new_state)
 
     trainer.step = meta["step"]
     return meta["step"]
+
+
+def _restore_resharded(trainer, tname, spec, path, old_shards: int,
+                       new_shards: int, state) -> None:
+    """Restore a table whose checkpoint shard count differs from the current
+    trainer's (scale the job up or down between runs).
+
+    Every entry (fid, ts, count, params, optimizer slots) is re-routed to
+    `shard_of(fid, new_shards)` — the same hash the host batcher uses at
+    training time — and packed into contiguous rows per new shard. Admission
+    filters are NOT carried over (count-min state is keyed to the old shard
+    layout); live ids are already admitted via the restored map, so only the
+    occurrence window for not-yet-admitted ids resets.
+
+    Reference equivalent: the reference requires identical num_ps on restore
+    for training (save_utils.py PartialRecoverySaver) and reshards only at
+    export/serving; here training restore reshards too.
+    """
+    import jax.numpy as jnp
+
+    from monolith_tpu.embedding.host_store import shard_of
+
+    # 1. collect every entry across the old shards
+    all_fids, all_tss, all_counts = [], [], []
+    pool_vals = []          # [n, dim] per old shard
+    slot_vals = {}          # key -> [n, k] per old shard
+    pool_dtype = None
+    for s in range(old_shards):
+        z = np.load(os.path.join(_tables_dir(path), f"{tname}-s{s}.npz"))
+        fids, rows = z["fids"], z["rows"]
+        all_fids.append(fids)
+        all_tss.append(z["tss"])
+        all_counts.append(z["counts"])
+        pool = z["pool"]
+        pool_dtype = pool.dtype
+        pool_vals.append(pool[rows] if len(rows) else pool[:0])
+        for k in z.files:
+            if k.startswith("slot:"):
+                arr = z[k]
+                slot_vals.setdefault(k[5:], []).append(
+                    arr[rows] if len(rows) else arr[:0])
+    fids = np.concatenate(all_fids) if all_fids else np.empty(0, np.int64)
+    tss = np.concatenate(all_tss) if all_tss else np.empty(0, np.uint32)
+    counts = (np.concatenate(all_counts) if all_counts
+              else np.empty(0, np.uint32))
+    values = (np.concatenate(pool_vals)
+              if pool_vals else np.empty((0, spec.dim), np.float32))
+    slots_cat = {k: np.concatenate(v) for k, v in slot_vals.items()}
+
+    # 2. route to new shards with the batcher's hash
+    dest = np.fromiter((shard_of(int(f), new_shards) for f in fids),
+                       dtype=np.int64, count=len(fids))
+    cap = spec.capacity_per_shard
+    pools = np.zeros((new_shards, cap, spec.dim), dtype=pool_dtype or np.float32)
+    slot_out = {k: np.zeros((new_shards, cap) + v.shape[1:], dtype=v.dtype)
+                for k, v in slots_cat.items()}
+    for s in range(new_shards):
+        sel = dest == s
+        n = int(sel.sum())
+        if n > cap:
+            raise ValueError(
+                f"resharding table '{tname}' {old_shards}->{new_shards}: "
+                f"shard {s} needs {n} rows but capacity_per_shard is {cap}")
+        rows = np.arange(n, dtype=np.int32)
+        store = trainer.engine.stores[tname][s]
+        store.restore(fids[sel], rows, tss[sel], counts[sel])
+        pools[s, :n] = values[sel]
+        for k, v in slots_cat.items():
+            slot_out[k][s, :n] = v[sel]
+
+    # 3. rebuild the device state, keeping freshly-initialized defaults for
+    # untouched rows' optimizer slots
+    new_state = {"params": jnp.asarray(pools), "slots": []}
+    for i, (seg, seg_slots) in enumerate(zip(spec.segments, state["slots"])):
+        d = {}
+        for name in seg_slots:
+            key = f"seg{i}/{name}"
+            if key in slot_out:
+                base = np.asarray(seg_slots[name]).copy()
+                # overwrite only assigned rows; rows >= n keep defaults
+                for s in range(new_shards):
+                    n = int((dest == s).sum())
+                    base[s, :n] = slot_out[key][s, :n]
+                d[name] = jnp.asarray(base)
+            else:
+                d[name] = jnp.asarray(seg_slots[name])
+        new_state["slots"].append(d)
+    trainer.table_states[tname] = _place_like_trainer(trainer, new_state)
+
+
+def _place_like_trainer(trainer, state):
+    """Shard restored pools over the trainer's mesh (no-op single device)."""
+    mesh = getattr(trainer, "mesh", None)
+    if mesh is None:
+        return state
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    shard = NamedSharding(mesh, P(trainer.axis))
+    return jax.tree.map(lambda x: jax.device_put(x, shard), state)

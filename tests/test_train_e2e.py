@@ -82,6 +82,82 @@ class TestCheckpoint:
         np.testing.assert_allclose(eval_after["auc"], eval_before["auc"], atol=1e-6)
         np.testing.assert_allclose(eval_after["loss"], eval_before["loss"], rtol=1e-5)
 
+    def test_restore_resharded_1_to_8(self, tmp_path):
+        """Save from a 1-shard trainer, restore into an 8-shard sharded
+        trainer: every entry must be re-routed to its hash shard with exact
+        params + optimizer slots (same eval results)."""
+        from monolith_tpu.parallel import ShardedTrainer, make_mesh
+
+        data = SyntheticCTR(num_users=200, num_items=100, batch_size=64, seed=6)
+        trainer = small_trainer()
+        trainer.train(iter(data), steps=20)
+        eval_before = trainer.evaluate(iter(SyntheticCTR(
+            num_users=200, num_items=100, batch_size=64, seed=6)), max_steps=8)
+        checkpoint.save(trainer, str(tmp_path))
+
+        task8 = small_task(capacity_per_shard=2048)
+        cfg8 = TrainerConfig(engine=EngineConfig(num_shards=8, unique_cap=512,
+                                                 new_cap=512), log_every=0)
+        tr8 = ShardedTrainer(task8, cfg8, make_mesh(8))
+        fid_batch, batch = data.batch()
+        inputs, _ = tr8.engine.prepare_batch(fid_batch, ts=0)
+        tr8._maybe_init(inputs, batch)
+        checkpoint.restore(tr8, str(tmp_path))
+        assert tr8.step == 20
+        # host maps agree with the original: same fids live, same total count
+        n_total = sum(s.size() for s in tr8.engine.stores["sparse"])
+        assert n_total == trainer.engine.stores["sparse"][0].size()
+        eval_after = tr8.evaluate(iter(SyntheticCTR(
+            num_users=200, num_items=100, batch_size=64, seed=6)), max_steps=8)
+        np.testing.assert_allclose(eval_after["auc"], eval_before["auc"],
+                                   atol=1e-5)
+        np.testing.assert_allclose(eval_after["loss"], eval_before["loss"],
+                                   rtol=1e-4)
+        # training continues after a resharded restore
+        out = tr8.train_step(fid_batch, batch)
+        assert np.isfinite(float(out["loss"]))
+
+    def test_restore_resharded_8_to_1(self, tmp_path):
+        """Scale DOWN: 8-shard checkpoint into a single-device trainer."""
+        from monolith_tpu.parallel import ShardedTrainer, make_mesh
+
+        data = SyntheticCTR(num_users=150, num_items=80, batch_size=64, seed=9)
+        task8 = small_task(capacity_per_shard=2048)
+        cfg8 = TrainerConfig(engine=EngineConfig(num_shards=8, unique_cap=512,
+                                                 new_cap=512), log_every=0)
+        tr8 = ShardedTrainer(task8, cfg8, make_mesh(8))
+        for _ in range(15):
+            fb, b = next(iter(data))
+            tr8.train_step(fb, b)
+        eval_before = tr8.evaluate(iter(SyntheticCTR(
+            num_users=150, num_items=80, batch_size=64, seed=9)), max_steps=8)
+        checkpoint.save(tr8, str(tmp_path))
+
+        tr1 = small_trainer()
+        fid_batch, batch = data.batch()
+        inputs, _ = tr1.engine.prepare_batch(fid_batch, ts=0)
+        tr1._maybe_init(inputs, batch)
+        checkpoint.restore(tr1, str(tmp_path))
+        eval_after = tr1.evaluate(iter(SyntheticCTR(
+            num_users=150, num_items=80, batch_size=64, seed=9)), max_steps=8)
+        np.testing.assert_allclose(eval_after["auc"], eval_before["auc"],
+                                   atol=1e-5)
+
+    def test_reshard_capacity_overflow_raises(self, tmp_path):
+        data = SyntheticCTR(num_users=400, num_items=200, batch_size=128, seed=6)
+        trainer = small_trainer()
+        trainer.train(iter(data), steps=10)
+        checkpoint.save(trainer, str(tmp_path))
+        tiny = small_task(capacity_per_shard=4)  # cannot hold the entries
+        cfg = TrainerConfig(engine=EngineConfig(num_shards=2, unique_cap=64,
+                                                new_cap=64), log_every=0)
+        tr2 = Trainer(tiny, cfg)
+        fid_batch, batch = data.batch()
+        inputs, _ = tr2.engine.prepare_batch(fid_batch, ts=0)
+        tr2._maybe_init(inputs, batch)
+        with pytest.raises(ValueError, match="capacity_per_shard"):
+            checkpoint.restore(tr2, str(tmp_path))
+
     def test_training_continues_after_restore(self, tmp_path):
         data = SyntheticCTR(num_users=200, num_items=100, batch_size=64, seed=7)
         trainer = small_trainer()
