@@ -309,6 +309,27 @@ class EmbeddingEngine:
             out[tname] = emb.reshape(-1, spec.dim)
         return out
 
+    def retrieve_unique(self, unique_embs: Dict[str, jnp.ndarray],
+                        step) -> Dict[str, jnp.ndarray]:
+        """Apply per-segment quantization-aware retrievers to the unique-row
+        buffers (ref retriever stack; see embedding/retrievers.py). Identity
+        for tables with no retriever configured. Must be called INSIDE the
+        differentiated loss so autodiff produces the retriever backward."""
+        out = {}
+        for tname, buf in unique_embs.items():
+            spec = self.tables[tname]
+            if all(seg.retriever is None for seg in spec.segments):
+                out[tname] = buf
+                continue
+            pieces, off = [], 0
+            for seg in spec.segments:
+                x = buf[:, off:off + seg.dim]
+                pieces.append(seg.retriever.retrieve(x, step)
+                              if seg.retriever is not None else x)
+                off += seg.dim
+            out[tname] = jnp.concatenate(pieces, axis=-1)
+        return out
+
     def pool_features(self, unique_embs: Dict[str, jnp.ndarray],
                       inputs: Dict) -> Dict[str, jnp.ndarray]:
         """Per-feature gather + combine from the unique buffers.
@@ -343,8 +364,10 @@ class EmbeddingEngine:
 
     # convenience: full differentiable embed step ----------------------
 
-    def embed(self, states: Dict, inputs: Dict) -> Tuple[Dict[str, jnp.ndarray],
-                                                         Dict[str, jnp.ndarray]]:
-        """lookup + pool; returns (pooled features, unique buffers)."""
+    def embed(self, states: Dict, inputs: Dict, step=0
+              ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
+        """lookup + retrieve + pool; returns (pooled features, unique buffers
+        BEFORE retrieval — gradients w.r.t. these feed apply_gradients)."""
         unique = self.lookup_unique(states, inputs)
-        return self.pool_features(unique, inputs), unique
+        retrieved = self.retrieve_unique(unique, step)
+        return self.pool_features(retrieved, inputs), unique

@@ -83,12 +83,15 @@ class WarmupSchedule(LearningRateSchedule):
 @dataclasses.dataclass(frozen=True)
 class TableSegment:
     """One slice of a table row: its own dim/optimizer/initializer/compressor
-    (ref: feature.py:122 FeatureSlot.add_feature_slice + entry.py configs)."""
+    (ref: feature.py:122 FeatureSlot.add_feature_slice + entry.py configs).
+    `retriever` enables quantization-aware retrieval of this slice during
+    training (ref retriever/fake_quant_retriever.cc, hash_net_retriever.cc)."""
     dim: int
     optimizer: RowOptimizer = dataclasses.field(default_factory=SGD)
     initializer: Initializer = dataclasses.field(default_factory=RandomUniform)
     compressor: Compressor = dataclasses.field(default_factory=Fp32)
     lr_schedule: Optional[LearningRateSchedule] = None
+    retriever: Optional["Retriever"] = None  # embedding.retrievers
 
     def learning_rate(self, step: jnp.ndarray) -> jnp.ndarray:
         if self.lr_schedule is not None:

@@ -106,9 +106,10 @@ class ShardedTrainer(Trainer):
                 gathered[tname] = emb_all.reshape(n * U, spec.dim)
 
             def loss_fn(params, gathered):
+                retrieved = engine.retrieve_unique(gathered, stepno)
                 pooled = {}
                 for tname, tin in inputs.items():
-                    buf = gathered[tname]
+                    buf = retrieved[tname]
                     nn_ = buf.shape[0]
                     for fname, idx in tin["index"].items():
                         f = engine.features[fname]
@@ -200,10 +201,11 @@ class ShardedTrainer(Trainer):
                                                   tin["rows"][0])  # [U, D]
 
             def loss_fn(params, uniques):
+                retrieved = engine.retrieve_unique(uniques, stepno)
                 pooled = {}
                 for tname, tin in inputs.items():
                     spec = specs[tname]
-                    emb_unique = uniques[tname]
+                    emb_unique = retrieved[tname]
                     bidx = tin["bucket_idx"][0]  # [D, cap]
                     safe_b = jnp.where(bidx < 0, jnp.int32(U),
                                        bidx.astype(jnp.int32))
@@ -264,13 +266,19 @@ class ShardedTrainer(Trainer):
         specs = {t: engine.tables[t] for t in engine.tables}
         U = self.config.engine.unique_cap
 
-        def local_eval(table_states, params, model_state, inputs, batch):
+        def local_eval(table_states, params, model_state, inputs, batch,
+                       stepno):
             pooled = {}
+            bufs = {}
             for tname, tin in inputs.items():
                 spec = specs[tname]
                 st = jax.tree.map(lambda x: x[0], table_states[tname])
                 emb_local = table_lib.lookup(spec, st, tin["rows"][0])
-                buf = jax.lax.all_gather(emb_local, ax).reshape(n * U, spec.dim)
+                bufs[tname] = jax.lax.all_gather(emb_local, ax).reshape(
+                    n * U, spec.dim)
+            bufs = engine.retrieve_unique(bufs, stepno)
+            for tname, tin in inputs.items():
+                buf = bufs[tname]
                 for fname, idx in tin["index"].items():
                     f = engine.features[fname]
                     safe = jnp.where(idx < 0, jnp.int32(buf.shape[0]), idx.astype(jnp.int32))
@@ -286,7 +294,7 @@ class ShardedTrainer(Trainer):
                                    is_leaf=lambda x: hasattr(x, "shape"))
         fn = jax.shard_map(local_eval, mesh=mesh,
                            in_specs=(state_specs, P(), P(),
-                                     self._input_specs_pytree(), P(ax)),
+                                     self._input_specs_pytree(), P(ax), P()),
                            out_specs=(P(), P(ax), P()), check_vma=False)
         return jax.jit(fn)
 
@@ -329,7 +337,8 @@ class ShardedTrainer(Trainer):
                 self._jit_eval = self._build_eval()
             batch_j = {k: jnp.asarray(v) for k, v in batch.items()}
             loss, preds, _ = self._jit_eval(self.table_states, self.params,
-                                            self.model_state, inputs, batch_j)
+                                            self.model_state, inputs, batch_j,
+                                            np.int32(self.step))
             auc.update(np.asarray(preds), batch["label"])
             loss_mean.update(float(loss))
         return {"auc": auc.result(), "loss": loss_mean.result()}

@@ -59,7 +59,14 @@ def export_model(trainer, directory: str, step: Optional[int] = None) -> str:
             arrays = {"fids": fids}
             off = 0
             for i, seg in enumerate(spec.segments):
-                blob = seg.compressor.compress(live[:, off:off + seg.dim])
+                vals = live[:, off:off + seg.dim]
+                if seg.retriever is not None:
+                    # bake quantization-aware retrieval into the export so
+                    # serving sees the same values training retrieved (ref
+                    # retriever bound into the serving entry accessor)
+                    vals = np.asarray(seg.retriever.retrieve(vals, step),
+                                      dtype=np.float32)
+                blob = seg.compressor.compress(vals)
                 for k, v in blob.items():
                     arrays[f"seg{i}:{k}"] = np.asarray(v)
                 off += seg.dim

@@ -78,6 +78,16 @@ class StreamingTrainer:
                 continue
             fids = np.concatenate(fids_all)
             vals = np.concatenate(vals_all).astype(np.float32)
+            if any(seg.retriever is not None for seg in spec.segments):
+                # serve the retrieved (quantization-aware) view, matching
+                # what training's forward pass saw
+                off = 0
+                for seg in spec.segments:
+                    if seg.retriever is not None:
+                        vals[:, off:off + seg.dim] = np.asarray(
+                            seg.retriever.retrieve(vals[:, off:off + seg.dim],
+                                                   t.step))
+                    off += seg.dim
             acks = self.sync.push(tname, fids, vals)
             pushed[tname] = len(fids)
             log.info("param sync: table %s pushed %d rows -> %s",

@@ -95,7 +95,8 @@ class Trainer:
             unique = engine.lookup_unique(table_states, inputs)
 
             def loss_fn(params, unique):
-                pooled = engine.pool_features(unique, inputs)
+                retrieved = engine.retrieve_unique(unique, stepno)
+                pooled = engine.pool_features(retrieved, inputs)
                 out, new_ms = self._apply(params, model_state, pooled, batch,
                                           training=True)
                 loss, aux = task.loss(out, batch)
@@ -116,8 +117,8 @@ class Trainer:
     def _build_eval(self):
         engine, module, task = self.engine, self.module, self.task
 
-        def eval_fn(table_states, params, model_state, inputs, batch):
-            pooled, _ = engine.embed(table_states, inputs)
+        def eval_fn(table_states, params, model_state, inputs, batch, stepno):
+            pooled, _ = engine.embed(table_states, inputs, step=stepno)
             out, _ = self._apply(params, model_state, pooled, batch,
                                  training=False)
             loss, aux = task.loss(out, batch)
@@ -195,7 +196,8 @@ class Trainer:
             self._maybe_init(inputs, batch)
             batch_j = {k: jnp.asarray(v) for k, v in batch.items()}
             loss, preds, _ = self._jit_eval(self.table_states, self.params,
-                                            self.model_state, inputs, batch_j)
+                                            self.model_state, inputs, batch_j,
+                                            np.int32(self.step))
             auc.update(np.asarray(preds), batch["label"])
             loss_mean.update(float(loss))
         return {"auc": auc.result(), "loss": loss_mean.result()}

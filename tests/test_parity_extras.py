@@ -1,6 +1,9 @@
 """Tests for parity extras: merged tables, bf16 + stochastic rounding,
 prefetch, iterator checkpoint state, failure recovery."""
 
+import dataclasses
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -268,3 +271,105 @@ class TestWarmupData:
         out = list(read_warmup_data(d))
         assert len(out) == 1
         np.testing.assert_array_equal(out[0][0]["user_id"], fb["user_id"])
+
+
+class TestRetrievers:
+    """Quantization-aware retrieval (ref retriever/fake_quant_retriever.cc,
+    hash_net_retriever.cc, compressor/{fake_quantizer,hash_net_quantizer}.h)."""
+
+    def test_fake_quant_forward_matches_reference_semantics(self):
+        import jax.numpy as jnp
+        from monolith_tpu.embedding.retrievers import FakeQuant
+        fq = FakeQuant(r=1.0)  # step = 1/128
+        step_ = 1.0 / 128.0
+        x = jnp.array([0.0, step_ * 3.6, -step_ * 3.6, 0.49 * step_,
+                       0.51 * step_, 10.0, -10.0])
+        y = np.asarray(fq.retrieve(x, 0))
+        # round-half-away-from-zero to the grid, clipped to [-128, 127] slots
+        np.testing.assert_allclose(
+            y, [0.0, 4 * step_, -4 * step_, 0.0, step_, 127 * step_,
+                -128 * step_], rtol=1e-6)
+
+    def test_fake_quant_gradient_is_straight_through(self):
+        import jax
+        import jax.numpy as jnp
+        from monolith_tpu.embedding.retrievers import FakeQuant
+        fq = FakeQuant(r=2.0)
+        g = jax.grad(lambda x: jnp.sum(fq.retrieve(x, 0) ** 2))(
+            jnp.array([0.3, -0.7]))
+        # d/dx sum(q(x)^2) with straight-through q' = 1 -> 2*q(x)
+        q = np.asarray(fq.retrieve(jnp.array([0.3, -0.7]), 0))
+        np.testing.assert_allclose(np.asarray(g), 2 * q, rtol=1e-5)
+
+    def test_hash_net_scale_schedule_and_backward(self):
+        import jax
+        import jax.numpy as jnp
+        from monolith_tpu.embedding.retrievers import HashNet
+        hn = HashNet(amplitude=2.0, init_scale=1.0, max_scale=3.0,
+                     step_size=100)
+        # scale holds between step_size multiples
+        assert float(hn.scale(0)) == pytest.approx(1.0)
+        assert float(hn.scale(99)) == pytest.approx(1.0)
+        s100 = 1.0 * (1 + 0.005 * 100) ** 0.5
+        assert float(hn.scale(100)) == pytest.approx(s100, rel=1e-6)
+        assert float(hn.scale(150)) == pytest.approx(s100, rel=1e-6)
+        # cap at max_scale
+        assert float(hn.scale(10_000_000)) == pytest.approx(3.0)
+        # backward = amplitude * scale * (1 - tanh^2), ref Backward
+        x = jnp.array([0.4])
+        g = jax.grad(lambda v: hn.retrieve(v, 100).sum())(x)
+        y = np.tanh(s100 * 0.4)
+        np.testing.assert_allclose(np.asarray(g), [2.0 * s100 * (1 - y * y)],
+                                   rtol=1e-5)
+
+    def test_training_with_retrievers_end_to_end(self):
+        """A table with fake-quant on one segment and hash-net on another
+        trains, and the exported values are the retrieved view."""
+        import jax.numpy as jnp
+        from monolith_tpu.data.synthetic import SyntheticCTR
+        from monolith_tpu.embedding import initializers, optimizers
+        from monolith_tpu.embedding.engine import EngineConfig
+        from monolith_tpu.embedding.retrievers import FakeQuant, HashNet
+        from monolith_tpu.embedding.spec import TableSegment, TableSpec
+        from monolith_tpu.models.deepfm import DeepFMTask
+        from monolith_tpu.training.trainer import Trainer, TrainerConfig
+
+        class QATTask(DeepFMTask):
+            def tables(self):
+                (base,) = super().tables()
+                segs = (
+                    dataclasses.replace(base.segments[0],
+                                        retriever=FakeQuant(r=4.0)),
+                ) + tuple(dataclasses.replace(s, retriever=HashNet())
+                          for s in base.segments[1:])
+                return (dataclasses.replace(base, segments=segs),)
+
+        task = QATTask(embedding_dim=8, capacity_per_shard=4096, hidden=(16,))
+        tr = Trainer(task, TrainerConfig(
+            engine=EngineConfig(num_shards=1, unique_cap=512, new_cap=512),
+            log_every=0))
+        data = SyntheticCTR(num_users=100, num_items=60, batch_size=256, seed=5)
+        it = iter(data)
+        losses = []
+        for _ in range(30):
+            fb, b = next(it)
+            out = tr.train_step(fb, b)
+            losses.append(float(out["loss"]))
+        assert np.isfinite(losses).all()
+        assert np.mean(losses[-10:]) < np.mean(losses[:10])
+
+        # export bakes the retrieved values
+        import tempfile
+        from monolith_tpu.serving.export import export_model
+        d = tempfile.mkdtemp()
+        path = export_model(tr, d)
+        spec = tr.engine.tables["sparse"]
+        z = np.load(os.path.join(path, "tables", "sparse-s0.npz"))
+        store = tr.engine.stores["sparse"][0]
+        fids, rows, _, _ = store.save()
+        raw = np.asarray(
+            jax.device_get(tr.table_states["sparse"])["params"][0])[rows]
+        seg0 = spec.segments[0]
+        expect = np.asarray(seg0.retriever.retrieve(
+            jnp.asarray(raw[:, :seg0.dim]), tr.step))
+        np.testing.assert_allclose(z["seg0:data"], expect, rtol=1e-5)
