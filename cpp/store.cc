@@ -238,7 +238,8 @@ class Store {
   void MapForTraining(const int64_t* fids, int64_t n, uint32_t ts,
                       int32_t* out_rows, int32_t* out_new_rows,
                       int64_t* out_new_fids, int64_t new_cap,
-                      int64_t* out_new_count, int32_t record_touch) {
+                      int64_t* out_new_count, int32_t record_touch,
+                      int32_t* out_new_pos = nullptr) {
     std::lock_guard<std::mutex> g(mu_);
     int64_t n_new = 0;
     for (int64_t i = 0; i < n; ++i) {
@@ -269,6 +270,9 @@ class Store {
       if (n_new < new_cap) {
         out_new_rows[n_new] = (int32_t)row;
         out_new_fids[n_new] = fid;
+        // compact wire format also wants the position of each new id within
+        // the input fid array (strictly increasing by construction)
+        if (out_new_pos) out_new_pos[n_new] = (int32_t)i;
       }
       ++n_new;
       if (record_touch) touched_.push_back(fid);
@@ -527,6 +531,16 @@ void mt_store_map_train(void* s, const int64_t* fids, int64_t n, uint32_t ts,
   static_cast<Store*>(s)->MapForTraining(fids, n, ts, out_rows, out_new_rows,
                                          out_new_fids, new_cap, out_new_count,
                                          record_touch);
+}
+
+void mt_store_map_train_pos(void* s, const int64_t* fids, int64_t n,
+                            uint32_t ts, int32_t* out_rows,
+                            int32_t* out_new_rows, int64_t* out_new_fids,
+                            int32_t* out_new_pos, int64_t new_cap,
+                            int64_t* out_new_count, int32_t record_touch) {
+  static_cast<Store*>(s)->MapForTraining(fids, n, ts, out_rows, out_new_rows,
+                                         out_new_fids, new_cap, out_new_count,
+                                         record_touch, out_new_pos);
 }
 
 void mt_store_lookup(void* s, const int64_t* fids, int64_t n,

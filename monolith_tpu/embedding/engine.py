@@ -62,12 +62,32 @@ class EngineConfig:
     # a host-RAM archive on eviction; revive exact state on re-admission
     tiered: bool = False
     archive_capacity: int = 0  # rows per shard archive; 0 = 4x table capacity
+    # Compact wire format: ship per-feature index matrices as int16 (when
+    # they fit) and new-row POSITIONS into the rows array (int16) instead of
+    # a second int32 row array. Host->device transfer is the throughput
+    # ceiling on PCIe/tunnel-attached chips; this halves the bytes. The
+    # device upcasts, so numerics are identical.
+    compact_wire: bool = True
 
     @property
     def effective_bucket_cap(self) -> int:
         if self.bucket_cap > 0:
             return self.bucket_cap
         return max(128, 2 * self.unique_cap // max(self.num_shards, 1))
+
+    @property
+    def index_dtype(self):
+        """dtype for per-feature index matrices (values < num_shards*unique_cap)."""
+        if self.compact_wire and self.num_shards * self.unique_cap <= 32768:
+            return np.int16
+        return np.int32
+
+    @property
+    def pos_dtype(self):
+        """dtype for positions within one shard's unique list (< unique_cap)."""
+        if self.compact_wire and self.unique_cap <= 32768:
+            return np.int16
+        return np.int32
 
 
 class EmbeddingEngine:
@@ -125,6 +145,7 @@ class EmbeddingEngine:
         """
         cfg = self.config
         S, U, K = cfg.num_shards, cfg.unique_cap, cfg.new_cap
+        compact = cfg.compact_wire
         inputs, stats = {}, {"overflow": {}, "new": {}, "unique": {}, "filtered": {}}
         for tname, feats in self.table_features.items():
             if not feats:
@@ -135,7 +156,10 @@ class EmbeddingEngine:
             unique, index, counts, overflow = self.batchers[tname].dedup(
                 flat, num_shards=S, shard_cap=U)
             rows = np.full((S, U), -1, dtype=np.int32)
-            new_rows = np.full((S, K), -1, dtype=np.int32)
+            if compact:
+                new_pos = np.full((S, K), -1, dtype=cfg.pos_dtype)
+            else:
+                new_rows = np.full((S, K), -1, dtype=np.int32)
             tiered = cfg.tiered
             if tiered:
                 from monolith_tpu.embedding.tiered import state_width
@@ -147,11 +171,17 @@ class EmbeddingEngine:
                 c = int(counts[s])
                 if c == 0:
                     continue
-                r, nr, nf = self.stores[tname][s].map_train(
-                    unique[s, :c], ts=ts, new_cap=K,
-                    record_touch=cfg.record_touch)
+                if compact:
+                    r, nr, nf, npos = self.stores[tname][s].map_train_pos(
+                        unique[s, :c], ts=ts, new_cap=K,
+                        record_touch=cfg.record_touch)
+                    new_pos[s, :len(npos)] = npos
+                else:
+                    r, nr, nf = self.stores[tname][s].map_train(
+                        unique[s, :c], ts=ts, new_cap=K,
+                        record_touch=cfg.record_touch)
+                    new_rows[s, :len(nr)] = nr
                 rows[s, :c] = r
-                new_rows[s, :len(nr)] = nr
                 n_new += len(nr)
                 if tiered and len(nf):
                     ok, vals = self.archives[tname][s].revive(nf)
@@ -160,13 +190,18 @@ class EmbeddingEngine:
                         revive_rows[s, :k] = nr[ok]
                         revive_values[s, :k] = vals[ok]
             idx_per_feature = {}
+            idt = cfg.index_dtype
             off = 0
             for f, stream in zip(feats, streams):
                 n = stream.size
-                idx_per_feature[f.name] = index[off:off + n].reshape(stream.shape)
+                idx_per_feature[f.name] = index[off:off + n].reshape(
+                    stream.shape).astype(idt, copy=False)
                 off += n
-            inputs[tname] = {"rows": rows, "new_rows": new_rows,
-                             "index": idx_per_feature}
+            inputs[tname] = {"rows": rows, "index": idx_per_feature}
+            if compact:
+                inputs[tname]["new_pos"] = new_pos
+            else:
+                inputs[tname]["new_rows"] = new_rows
             if tiered:
                 inputs[tname]["revive_rows"] = revive_rows
                 inputs[tname]["revive_values"] = revive_values
@@ -206,8 +241,12 @@ class EmbeddingEngine:
                 self.batchers2d[tname].dedup(flat, num_batch_shards=D,
                                              num_shards=S, global_cap=U,
                                              bucket_cap=cap)
+            compact = cfg.compact_wire
             rows = np.full((S, U), -1, dtype=np.int32)
-            new_rows = np.full((S, K), -1, dtype=np.int32)
+            if compact:
+                new_pos = np.full((S, K), -1, dtype=cfg.pos_dtype)
+            else:
+                new_rows = np.full((S, K), -1, dtype=np.int32)
             tiered = cfg.tiered
             if tiered:
                 from monolith_tpu.embedding.tiered import state_width
@@ -219,11 +258,17 @@ class EmbeddingEngine:
                 c = int(counts[s_i])
                 if c == 0:
                     continue
-                r, nr, nf = self.stores[tname][s_i].map_train(
-                    unique[s_i, :c], ts=ts, new_cap=K,
-                    record_touch=cfg.record_touch)
+                if compact:
+                    r, nr, nf, npos = self.stores[tname][s_i].map_train_pos(
+                        unique[s_i, :c], ts=ts, new_cap=K,
+                        record_touch=cfg.record_touch)
+                    new_pos[s_i, :len(npos)] = npos
+                else:
+                    r, nr, nf = self.stores[tname][s_i].map_train(
+                        unique[s_i, :c], ts=ts, new_cap=K,
+                        record_touch=cfg.record_touch)
+                    new_rows[s_i, :len(nr)] = nr
                 rows[s_i, :c] = r
-                new_rows[s_i, :len(nr)] = nr
                 n_new += len(nr)
                 if tiered and len(nf):
                     ok, vals = self.archives[tname][s_i].revive(nf)
@@ -231,8 +276,11 @@ class EmbeddingEngine:
                         k = int(ok.sum())
                         revive_rows[s_i, :k] = nr[ok]
                         revive_values[s_i, :k] = vals[ok]
-            # reassemble per-feature index matrices [B, L]
-            idx_per_feature = {f.name: np.empty(st.shape, dtype=np.int32)
+            # reassemble per-feature index matrices [B, L]; values index the
+            # local [S*bucket_cap] receive buffer
+            a2a_idt = (np.int16 if compact and S * cap <= 32768 else np.int32)
+            pos_idt = (np.int16 if compact and U <= 32768 else np.int32)
+            idx_per_feature = {f.name: np.empty(st.shape, dtype=a2a_idt)
                                for f, st in zip(feats, streams)}
             pos = 0
             for d in range(D):
@@ -240,9 +288,14 @@ class EmbeddingEngine:
                     chunk = index[pos:pos + flen].reshape(rows_per, st.shape[1])
                     idx_per_feature[f.name][d * rows_per:(d + 1) * rows_per] = chunk
                     pos += flen
-            inputs[tname] = {"rows": rows, "new_rows": new_rows,
-                             "bucket_idx": bucket_idx,
+            inputs[tname] = {"rows": rows,
+                             "bucket_idx": bucket_idx.astype(pos_idt,
+                                                             copy=False),
                              "index": idx_per_feature}
+            if compact:
+                inputs[tname]["new_pos"] = new_pos
+            else:
+                inputs[tname]["new_rows"] = new_rows
             if tiered:
                 inputs[tname]["revive_rows"] = revive_rows
                 inputs[tname]["revive_values"] = revive_values
@@ -279,6 +332,23 @@ class EmbeddingEngine:
 
         return {name: stack(spec) for name, spec in self.tables.items()}
 
+    @staticmethod
+    def new_rows_from(rows: jnp.ndarray, tin: Dict) -> jnp.ndarray:
+        """Materialize new-row indices from a step's inputs.
+
+        Compact wire ships `new_pos` (positions into the rows array, int16)
+        instead of row values; this gathers rows[..., new_pos] with -1
+        padding. `rows` is [..., U] and new_pos [..., K] with matching
+        leading dims (works per shard and vmapped alike)."""
+        if "new_pos" not in tin:
+            return jnp.asarray(tin["new_rows"])
+        pos = jnp.asarray(tin["new_pos"]).astype(jnp.int32)
+        U = rows.shape[-1]
+        pad = jnp.full(rows.shape[:-1] + (1,), -1, rows.dtype)
+        padded = jnp.concatenate([rows, pad], axis=-1)
+        safe = jnp.where((pos < 0) | (pos >= U), jnp.int32(U), pos)
+        return jnp.take_along_axis(padded, safe, axis=-1)
+
     def admit_rows(self, states: Dict, inputs: Dict, key: jax.Array) -> Dict:
         """Initialize newly-admitted rows on device (vmapped over shards);
         in tiered mode, archived state overwrites the fresh init (revive)."""
@@ -287,9 +357,10 @@ class EmbeddingEngine:
             spec = self.tables[tname]
             tkey = jax.random.fold_in(key, i)
             skeys = jax.random.split(tkey, self.config.num_shards)
+            new_rows = self.new_rows_from(jnp.asarray(tin["rows"]), tin)
             st = jax.vmap(
                 lambda st, rows, k: table_lib.init_rows(spec, st, rows, k)
-            )(states[tname], jnp.asarray(tin["new_rows"]), skeys)
+            )(states[tname], new_rows, skeys)
             if "revive_rows" in tin:
                 st = jax.vmap(
                     lambda st, rows, vals: table_lib.restore_packed_rows(

@@ -83,6 +83,31 @@ class HostStore:
         k = min(int(new_count[0]), new_cap)
         return rows, new_rows[:k], new_fids[:k]
 
+    def map_train_pos(self, fids: np.ndarray, ts: int,
+                      new_cap: Optional[int] = None,
+                      record_touch: bool = False
+                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """map_train that also returns each new id's POSITION within `fids`
+        (strictly increasing int32 [k]) — the compact wire format ships
+        positions (int16-able) instead of a second int32 row array."""
+        fids = np.ascontiguousarray(fids, dtype=np.int64)
+        n = fids.size
+        if new_cap is None:
+            new_cap = n
+        rows = np.empty(n, dtype=np.int32)
+        new_rows = np.empty(new_cap, dtype=np.int32)
+        new_fids = np.empty(new_cap, dtype=np.int64)
+        new_pos = np.empty(new_cap, dtype=np.int32)
+        new_count = np.zeros(1, dtype=np.int64)
+        self._lib.mt_store_map_train_pos(
+            self._h, _ptr(fids, ctypes.c_int64), n, ts,
+            _ptr(rows, ctypes.c_int32), _ptr(new_rows, ctypes.c_int32),
+            _ptr(new_fids, ctypes.c_int64), _ptr(new_pos, ctypes.c_int32),
+            new_cap, _ptr(new_count, ctypes.c_int64),
+            1 if record_touch else 0)
+        k = min(int(new_count[0]), new_cap)
+        return rows, new_rows[:k], new_fids[:k], new_pos[:k]
+
     def lookup(self, fids: np.ndarray) -> np.ndarray:
         """Read-only lookup; missing ids map to -1 (serving path)."""
         fids = np.ascontiguousarray(fids, dtype=np.int64)

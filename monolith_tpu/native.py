@@ -48,6 +48,10 @@ def _declare(lib: ctypes.CDLL) -> None:
     d.mt_store_map_train.argtypes = [
         ctypes.c_void_p, c_i64_p, ctypes.c_int64, ctypes.c_uint32,
         c_i32_p, c_i32_p, c_i64_p, ctypes.c_int64, c_i64_p, ctypes.c_int32]
+    d.mt_store_map_train_pos.argtypes = [
+        ctypes.c_void_p, c_i64_p, ctypes.c_int64, ctypes.c_uint32,
+        c_i32_p, c_i32_p, c_i64_p, c_i32_p, ctypes.c_int64, c_i64_p,
+        ctypes.c_int32]
     d.mt_store_lookup.argtypes = [ctypes.c_void_p, c_i64_p, ctypes.c_int64, c_i32_p]
     d.mt_store_assign.argtypes = [
         ctypes.c_void_p, c_i64_p, ctypes.c_int64, ctypes.c_uint32,

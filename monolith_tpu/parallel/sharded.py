@@ -90,7 +90,8 @@ class ShardedTrainer(Trainer):
             for tname, tin in inputs.items():
                 spec = specs[tname]
                 st = jax.tree.map(lambda x: x[0], table_states[tname])
-                st = table_lib.init_rows(spec, st, tin["new_rows"][0], key)
+                nr = engine.new_rows_from(tin["rows"], tin)[0]
+                st = table_lib.init_rows(spec, st, nr, key)
                 if "revive_rows" in tin:
                     st = table_lib.restore_packed_rows(
                         spec, st, tin["revive_rows"][0],
@@ -186,7 +187,8 @@ class ShardedTrainer(Trainer):
             for tname, tin in inputs.items():
                 spec = specs[tname]
                 st = jax.tree.map(lambda x: x[0], table_states[tname])
-                st = table_lib.init_rows(spec, st, tin["new_rows"][0], key)
+                nr = engine.new_rows_from(tin["rows"], tin)[0]
+                st = table_lib.init_rows(spec, st, nr, key)
                 if "revive_rows" in tin:
                     st = table_lib.restore_packed_rows(
                         spec, st, tin["revive_rows"][0],

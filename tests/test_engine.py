@@ -34,8 +34,11 @@ class TestPrepareBatch:
         inputs, stats = eng.prepare_batch({"uid": fids}, ts=1)
         tin = inputs["user"]
         assert tin["rows"].shape == (1, 64)
-        assert tin["new_rows"].shape == (1, 32)
+        # compact wire ships new-row POSITIONS (int16) instead of row values
+        assert tin["new_pos"].shape == (1, 32)
+        assert tin["new_pos"].dtype == np.int16
         assert tin["index"]["uid"].shape == (2, 3)
+        assert tin["index"]["uid"].dtype == np.int16
         assert stats["unique"]["user"] == 3
         assert stats["new"]["user"] == 3
         # padding -> -1 index
@@ -168,3 +171,53 @@ class TestMultiShardHost:
         states = eng.admit_rows(states, inputs, jax.random.PRNGKey(0))
         pooled, _ = eng.embed(states, inputs)
         np.testing.assert_allclose(np.asarray(pooled["uid"]), 3.0, rtol=1e-6)
+
+
+class TestCompactWire:
+    def test_compact_matches_legacy_wire(self):
+        """compact_wire=True must produce identical training behavior to the
+        legacy int32 new_rows wire (same admitted rows, same embeddings)."""
+        import jax.numpy as jnp
+        from monolith_tpu.embedding.engine import EmbeddingEngine, EngineConfig
+        from monolith_tpu.embedding.spec import TableSegment, TableSpec
+        from monolith_tpu.embedding import initializers, optimizers
+        from monolith_tpu.feature import FeatureConfig
+
+        def build(compact):
+            tables = [TableSpec(
+                name="t", capacity_per_shard=256,
+                segments=(TableSegment(dim=4,
+                                       optimizer=optimizers.Adagrad(0.1),
+                                       initializer=initializers.Constants(0.5)),))]
+            feats = [FeatureConfig(name="f", table="t", max_length=3,
+                                   combiner="sum")]
+            return EmbeddingEngine(tables, feats,
+                                   EngineConfig(num_shards=2, unique_cap=32,
+                                                new_cap=16,
+                                                compact_wire=compact))
+
+        e1, e2 = build(True), build(False)
+        fids = np.array([[5, 9, -1], [9, 13, 5], [21, -1, -1]], np.int64)
+        in1, s1 = e1.prepare_batch({"f": fids}, ts=1)
+        in2, s2 = e2.prepare_batch({"f": fids}, ts=1)
+        assert s1["new"] == s2["new"] and s1["unique"] == s2["unique"]
+        # reconstructed new_rows == legacy new_rows
+        nr1 = np.asarray(e1.new_rows_from(jnp.asarray(in1["t"]["rows"]),
+                                          in1["t"]))
+        np.testing.assert_array_equal(nr1, in2["t"]["new_rows"])
+        # end-to-end embed equality
+        st1, st2 = e1.create_states(), e2.create_states()
+        st1 = e1.admit_rows(st1, in1, jax.random.PRNGKey(0))
+        st2 = e2.admit_rows(st2, in2, jax.random.PRNGKey(0))
+        p1, _ = e1.embed(st1, in1)
+        p2, _ = e2.embed(st2, in2)
+        np.testing.assert_allclose(np.asarray(p1["f"]), np.asarray(p2["f"]))
+
+    def test_int32_fallback_when_caps_large(self):
+        from monolith_tpu.embedding.engine import EngineConfig
+        cfg = EngineConfig(num_shards=4, unique_cap=16384)  # 4*16384 > 32768
+        assert cfg.index_dtype == np.int32
+        assert cfg.pos_dtype == np.int16
+        cfg2 = EngineConfig(num_shards=1, unique_cap=65536)
+        assert cfg2.index_dtype == np.int32
+        assert cfg2.pos_dtype == np.int32

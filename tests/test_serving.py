@@ -67,7 +67,7 @@ class TestExportServe:
         import jax.numpy as jnp
         _, train_preds, _ = trainer._jit_eval(
             trainer.table_states, trainer.params, trainer.model_state, inputs,
-            {k: jnp.asarray(v) for k, v in b.items()})
+            {k: jnp.asarray(v) for k, v in b.items()}, np.int32(trainer.step))
         np.testing.assert_allclose(serving_preds, np.asarray(train_preds),
                                    rtol=1e-4, atol=1e-5)
 
@@ -170,7 +170,8 @@ class TestRealtime:
             import jax.numpy as jnp
             _, train_preds, _ = trainer._jit_eval(
                 trainer.table_states, trainer.params, trainer.model_state,
-                inputs, {k: jnp.asarray(v) for k, v in b.items()})
+                inputs, {k: jnp.asarray(v) for k, v in b.items()},
+                np.int32(trainer.step))
             # dense params differ (serving has the export-time tower), but
             # sparse rows are synced: correlation must be high
             corr = np.corrcoef(serving_preds, np.asarray(train_preds))[0, 1]
