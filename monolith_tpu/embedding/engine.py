@@ -68,6 +68,12 @@ class EngineConfig:
     # ceiling on PCIe/tunnel-attached chips; this halves the bytes. The
     # device upcasts, so numerics are identical.
     compact_wire: bool = True
+    # Packed-row fused step (PERF.md): each id's params + optimizer slots
+    # live in one 128-lane pool row; the step does ONE gather + ONE scatter
+    # per table, with new-row init fused in as a select (no admit scatter).
+    # "auto" = on when every table is f32; "off" forces the legacy
+    # structure-of-arrays path.
+    packed: str = "auto"  # auto | off
 
     @property
     def effective_bucket_cap(self) -> int:
@@ -129,6 +135,8 @@ class EmbeddingEngine:
                             or 4 * t.capacity_per_shard)
                 self.archives[name] = [RowArchive(t, arch_cap, seed=seed + s)
                                        for s in range(S)]
+        self.packed = (config.packed != "off"
+                       and all(table_lib.is_packed(t) for t in tables))
 
     # ------------------------------------------------------------------
     # host side
@@ -146,6 +154,7 @@ class EmbeddingEngine:
         cfg = self.config
         S, U, K = cfg.num_shards, cfg.unique_cap, cfg.new_cap
         compact = cfg.compact_wire
+        packed = self.packed
         inputs, stats = {}, {"overflow": {}, "new": {}, "unique": {}, "filtered": {}}
         for tname, feats in self.table_features.items():
             if not feats:
@@ -156,7 +165,11 @@ class EmbeddingEngine:
             unique, index, counts, overflow = self.batchers[tname].dedup(
                 flat, num_shards=S, shard_cap=U)
             rows = np.full((S, U), -1, dtype=np.int32)
-            if compact:
+            if packed:
+                # fused step: new ids are a SELECT over the gathered rows,
+                # not a scatter — ship a mask instead of row values
+                new_mask = np.zeros((S, U), dtype=np.uint8)
+            elif compact:
                 new_pos = np.full((S, K), -1, dtype=cfg.pos_dtype)
             else:
                 new_rows = np.full((S, K), -1, dtype=np.int32)
@@ -164,18 +177,24 @@ class EmbeddingEngine:
             if tiered:
                 from monolith_tpu.embedding.tiered import state_width
                 width = state_width(self.tables[tname])
-                revive_rows = np.full((S, K), -1, dtype=np.int32)
+                if packed:
+                    revive_pos = np.full((S, K), -1, dtype=cfg.pos_dtype)
+                else:
+                    revive_rows = np.full((S, K), -1, dtype=np.int32)
                 revive_values = np.zeros((S, K, width), dtype=np.float32)
             n_new = 0
             for s in range(S):
                 c = int(counts[s])
                 if c == 0:
                     continue
-                if compact:
+                if packed or compact:
                     r, nr, nf, npos = self.stores[tname][s].map_train_pos(
                         unique[s, :c], ts=ts, new_cap=K,
                         record_touch=cfg.record_touch)
-                    new_pos[s, :len(npos)] = npos
+                    if packed:
+                        new_mask[s, npos] = 1
+                    else:
+                        new_pos[s, :len(npos)] = npos
                 else:
                     r, nr, nf = self.stores[tname][s].map_train(
                         unique[s, :c], ts=ts, new_cap=K,
@@ -187,7 +206,10 @@ class EmbeddingEngine:
                     ok, vals = self.archives[tname][s].revive(nf)
                     if ok.any():
                         k = int(ok.sum())
-                        revive_rows[s, :k] = nr[ok]
+                        if packed:
+                            revive_pos[s, :k] = npos[ok]
+                        else:
+                            revive_rows[s, :k] = nr[ok]
                         revive_values[s, :k] = vals[ok]
             idx_per_feature = {}
             idt = cfg.index_dtype
@@ -198,12 +220,17 @@ class EmbeddingEngine:
                     stream.shape).astype(idt, copy=False)
                 off += n
             inputs[tname] = {"rows": rows, "index": idx_per_feature}
-            if compact:
+            if packed:
+                inputs[tname]["new_mask"] = new_mask
+            elif compact:
                 inputs[tname]["new_pos"] = new_pos
             else:
                 inputs[tname]["new_rows"] = new_rows
             if tiered:
-                inputs[tname]["revive_rows"] = revive_rows
+                if packed:
+                    inputs[tname]["revive_pos"] = revive_pos
+                else:
+                    inputs[tname]["revive_rows"] = revive_rows
                 inputs[tname]["revive_values"] = revive_values
             stats["overflow"][tname] = overflow
             stats["new"][tname] = n_new
@@ -242,8 +269,11 @@ class EmbeddingEngine:
                                              num_shards=S, global_cap=U,
                                              bucket_cap=cap)
             compact = cfg.compact_wire
+            packed = self.packed
             rows = np.full((S, U), -1, dtype=np.int32)
-            if compact:
+            if packed:
+                new_mask = np.zeros((S, U), dtype=np.uint8)
+            elif compact:
                 new_pos = np.full((S, K), -1, dtype=cfg.pos_dtype)
             else:
                 new_rows = np.full((S, K), -1, dtype=np.int32)
@@ -251,18 +281,24 @@ class EmbeddingEngine:
             if tiered:
                 from monolith_tpu.embedding.tiered import state_width
                 width = state_width(self.tables[tname])
-                revive_rows = np.full((S, K), -1, dtype=np.int32)
+                if packed:
+                    revive_pos = np.full((S, K), -1, dtype=cfg.pos_dtype)
+                else:
+                    revive_rows = np.full((S, K), -1, dtype=np.int32)
                 revive_values = np.zeros((S, K, width), dtype=np.float32)
             n_new = 0
             for s_i in range(S):
                 c = int(counts[s_i])
                 if c == 0:
                     continue
-                if compact:
+                if packed or compact:
                     r, nr, nf, npos = self.stores[tname][s_i].map_train_pos(
                         unique[s_i, :c], ts=ts, new_cap=K,
                         record_touch=cfg.record_touch)
-                    new_pos[s_i, :len(npos)] = npos
+                    if packed:
+                        new_mask[s_i, npos] = 1
+                    else:
+                        new_pos[s_i, :len(npos)] = npos
                 else:
                     r, nr, nf = self.stores[tname][s_i].map_train(
                         unique[s_i, :c], ts=ts, new_cap=K,
@@ -274,7 +310,10 @@ class EmbeddingEngine:
                     ok, vals = self.archives[tname][s_i].revive(nf)
                     if ok.any():
                         k = int(ok.sum())
-                        revive_rows[s_i, :k] = nr[ok]
+                        if packed:
+                            revive_pos[s_i, :k] = npos[ok]
+                        else:
+                            revive_rows[s_i, :k] = nr[ok]
                         revive_values[s_i, :k] = vals[ok]
             # reassemble per-feature index matrices [B, L]; values index the
             # local [S*bucket_cap] receive buffer
@@ -292,12 +331,17 @@ class EmbeddingEngine:
                              "bucket_idx": bucket_idx.astype(pos_idt,
                                                              copy=False),
                              "index": idx_per_feature}
-            if compact:
+            if packed:
+                inputs[tname]["new_mask"] = new_mask
+            elif compact:
                 inputs[tname]["new_pos"] = new_pos
             else:
                 inputs[tname]["new_rows"] = new_rows
             if tiered:
-                inputs[tname]["revive_rows"] = revive_rows
+                if packed:
+                    inputs[tname]["revive_pos"] = revive_pos
+                else:
+                    inputs[tname]["revive_rows"] = revive_rows
                 inputs[tname]["revive_values"] = revive_values
             stats["overflow"][tname] = overflow
             stats["new"][tname] = n_new
@@ -327,7 +371,7 @@ class EmbeddingEngine:
         S = self.config.num_shards
 
         def stack(spec):
-            st = table_lib.create_state(spec)
+            st = table_lib.create_state(spec, packed=self.packed)
             return jax.tree.map(lambda x: jnp.broadcast_to(x, (S,) + x.shape), st)
 
         return {name: stack(spec) for name, spec in self.tables.items()}
@@ -351,12 +395,42 @@ class EmbeddingEngine:
 
     def admit_rows(self, states: Dict, inputs: Dict, key: jax.Array) -> Dict:
         """Initialize newly-admitted rows on device (vmapped over shards);
-        in tiered mode, archived state overwrites the fresh init (revive)."""
+        in tiered mode, archived state overwrites the fresh init (revive).
+
+        In packed mode the trainer fast path fuses this into fused_lookup /
+        fused_apply; this standalone version (select + scatter) exists for
+        direct engine use (tests, eval-time admission)."""
         out = dict(states)
         for i, (tname, tin) in enumerate(sorted(inputs.items())):
             spec = self.tables[tname]
             tkey = jax.random.fold_in(key, i)
             skeys = jax.random.split(tkey, self.config.num_shards)
+            if "new_mask" in tin:
+                def per_shard(st, rows, mask, k):
+                    p = table_lib.gather_packed(spec, st, rows)
+                    init = table_lib.init_packed(spec, k, rows.shape[0])
+                    p = jnp.where((mask > 0)[:, None], init, p)
+                    return table_lib.scatter_packed(spec, st, rows, p)
+                out[tname] = jax.vmap(per_shard)(
+                    states[tname], jnp.asarray(tin["rows"]),
+                    jnp.asarray(tin["new_mask"]), skeys)
+                if "revive_pos" in tin:
+                    def overlay(st, rows, pos, vals, mask):
+                        p = table_lib.gather_packed(spec, st, rows)
+                        safe = jnp.where(pos < 0, jnp.int32(p.shape[0]),
+                                         pos.astype(jnp.int32))
+                        full = jnp.zeros((vals.shape[0], p.shape[1]),
+                                         jnp.float32
+                                         ).at[:, :vals.shape[1]].set(vals)
+                        p = p.at[safe].set(full, mode="drop",
+                                           unique_indices=True)
+                        return table_lib.scatter_packed(spec, st, rows, p)
+                    out[tname] = jax.vmap(overlay)(
+                        out[tname], jnp.asarray(tin["rows"]),
+                        jnp.asarray(tin["revive_pos"]),
+                        jnp.asarray(tin["revive_values"]),
+                        jnp.asarray(tin["new_mask"]))
+                continue
             new_rows = self.new_rows_from(jnp.asarray(tin["rows"]), tin)
             st = jax.vmap(
                 lambda st, rows, k: table_lib.init_rows(spec, st, rows, k)
@@ -368,6 +442,62 @@ class EmbeddingEngine:
                 )(st, jnp.asarray(tin["revive_rows"]),
                   jnp.asarray(tin["revive_values"]))
             out[tname] = st
+        return out
+
+    # -- packed fused path (PERF.md): ONE gather + ONE scatter per table --
+
+    def fused_lookup(self, states: Dict, inputs: Dict, key: jax.Array,
+                     step) -> Tuple[Dict[str, jnp.ndarray],
+                                    Dict[str, jnp.ndarray]]:
+        """Gather each table's packed rows and overlay init values for newly
+        admitted ids (select, replacing the reference's admit/init scatter);
+        in tiered mode, archived state overlays the fresh init (revive).
+
+        Returns (prows {table: [S, U, P]}, unique {table: [S*U, dim]})."""
+        S, U = self.config.num_shards, self.config.unique_cap
+        prows, unique = {}, {}
+        for i, (tname, tin) in enumerate(sorted(inputs.items())):
+            spec = self.tables[tname]
+            tkey = jax.random.fold_in(jax.random.fold_in(key, step), i)
+            skeys = jax.random.split(tkey, S)
+
+            def per_shard(st, rows, mask, k):
+                p = table_lib.gather_packed(spec, st, rows)
+                init = table_lib.init_packed(spec, k, rows.shape[0])
+                return jnp.where((mask > 0)[:, None], init, p)
+
+            p = jax.vmap(per_shard)(states[tname], jnp.asarray(tin["rows"]),
+                                    jnp.asarray(tin["new_mask"]), skeys)
+            if "revive_pos" in tin:
+                def overlay(p, pos, vals):
+                    safe = jnp.where(pos < 0, jnp.int32(p.shape[0]),
+                                     pos.astype(jnp.int32))
+                    full = jnp.zeros((vals.shape[0], p.shape[1]), jnp.float32
+                                     ).at[:, :vals.shape[1]].set(vals)
+                    return p.at[safe].set(full, mode="drop",
+                                          unique_indices=True)
+                p = jax.vmap(overlay)(p, jnp.asarray(tin["revive_pos"]),
+                                      jnp.asarray(tin["revive_values"]))
+            prows[tname] = p
+            unique[tname] = table_lib.params_of(spec, p).reshape(-1, spec.dim)
+        return prows, unique
+
+    def fused_apply(self, states: Dict, inputs: Dict, prows: Dict,
+                    unique_grads: Dict[str, jnp.ndarray],
+                    step: jnp.ndarray) -> Dict:
+        """Optimize the gathered packed rows and write them back with ONE
+        scatter per table (ref fused_apply_gradient)."""
+        S, U = self.config.num_shards, self.config.unique_cap
+        out = dict(states)
+        for tname, tin in inputs.items():
+            spec = self.tables[tname]
+            g = unique_grads[tname].reshape(S, U, spec.dim)
+            new_p = jax.vmap(
+                lambda p, gg: table_lib.optimize_packed(spec, p, gg, step)
+            )(prows[tname], g)
+            out[tname] = jax.vmap(
+                lambda st, rows, v: table_lib.scatter_packed(spec, st, rows, v)
+            )(states[tname], jnp.asarray(tin["rows"]), new_p)
         return out
 
     def lookup_unique(self, states: Dict, inputs: Dict) -> Dict[str, jnp.ndarray]:

@@ -1,47 +1,99 @@
-"""Device-resident embedding table: row pool + per-row optimizer state.
+"""Device-resident embedding table: packed row pool.
 
 TPU-native rebuild of the reference's embedding hash table value path
 (ref: runtime/hash_table/embedding_hash_table_interface.h:34 Lookup/Assign/
-BatchOptimize, entry_accessor.{h,cc} segment dispatch). The reference packs
-[embedding | optimizer state | ts] into one host byte blob per ID; here each
-table shard is a fixed-capacity structure-of-arrays in TPU HBM:
+BatchOptimize, entry_accessor.{h,cc} segment dispatch). Like the reference's
+entry accessor — which packs [embedding segments | optimizer state | ts]
+into one contiguous blob per id — each id's FULL state here is one row of a
+single `[capacity, P]` pool in TPU HBM:
 
-    params                       [capacity, dim]   (dim = sum of segment dims)
-    slots[i][name]               [capacity, k]     per-segment optimizer state
+    [ seg0 params | seg1 params | ... | seg0 slots | seg1 slots | pad ]
+
+with P padded to a multiple of 128 lanes. This is a measured TPU layout
+decision, not a style choice (see PERF.md): narrow per-array pools
+([cap, 17], [cap, 16]) are lane-padded 7.5x in HBM, push XLA into
+transposed layouts, and cost 4 sequential scatters per step; one packed
+row costs ONE gather + ONE scatter and is HBM-dense.
 
 Row indices are assigned by the host `HostStore`; all float math (init,
 lookup, per-segment optimize) runs on device as pure jit-able functions of
 (state, rows, grads). Rows = -1 (filtered / padded) read zeros and drop
-updates via XLA gather/scatter OOB semantics (mode='fill'/'drop'), which is
-how collisionless "missing id -> default value, no update" is expressed
-without host branching. NOTE: JAX wraps negative indices BEFORE applying
-mode, so -1 sentinels are remapped on device to `capacity` (a true OOB
-index) by `_sanitize` first."""
+updates via XLA gather/scatter OOB semantics (mode='fill'/'drop'). NOTE:
+JAX wraps negative indices BEFORE applying mode, so -1 sentinels are
+remapped on device to `capacity` (a true OOB index) by `_sanitize` first.
+
+bf16 tables (spec.dtype == bfloat16, used with stochastic rounding) keep
+the legacy structure-of-arrays state {"params": [cap, D], "slots": [...]}
+so optimizer accumulators stay f32.
+"""
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from monolith_tpu.embedding.spec import TableSpec
 
-# state pytree: {"params": [cap, D], "slots": [ {name: [cap,k]}, ... ]}
+# state pytree:
+#   packed: {"data": [cap, P] f32}
+#   legacy: {"params": [cap, D] dtype, "slots": [ {name: [cap, k] f32}, ... ]}
 TableState = Dict
+
+_LANES = 128
+
+
+def is_packed(spec: TableSpec) -> bool:
+    return spec.dtype == jnp.float32
+
+
+@functools.lru_cache(maxsize=None)
+def _layout(spec: TableSpec):
+    """Column layout of a packed row: (width, padded, slot_offsets) where
+    slot_offsets[(seg_idx, name)] = (offset, k, init_value). Params occupy
+    [0, dim) in segment order; slots follow in (segment, sorted-name) order
+    — the same order tiered.pack_rows / checkpoints use."""
+    off = spec.dim
+    slots = {}
+    for i, seg in enumerate(spec.segments):
+        for name, (k, init_value) in sorted(seg.optimizer.slot_spec(seg.dim).items()):
+            slots[(i, name)] = (off, k, init_value)
+            off += k
+    width = off
+    padded = max(_LANES, -(-width // _LANES) * _LANES)
+    return width, padded, slots
+
+
+def packed_width(spec: TableSpec) -> int:
+    """Logical row width: params + all optimizer slots (no padding)."""
+    return _layout(spec)[0]
 
 
 def _sanitize(rows: jnp.ndarray, capacity: int) -> jnp.ndarray:
-    """Map negative sentinel rows to a genuinely out-of-bounds index.
-
-    JAX normalizes negative indices (wrap-around) BEFORE applying
-    mode='fill'/'drop', so -1 would silently alias the last pool row."""
+    """Map negative sentinel rows to a genuinely out-of-bounds index."""
     return jnp.where(rows < 0, jnp.int32(capacity), rows.astype(jnp.int32))
 
 
-def create_state(spec: TableSpec) -> TableState:
-    """Allocate the device row pool + optimizer slot arrays for one shard."""
+# ----------------------------------------------------------------------
+# state construction
+# ----------------------------------------------------------------------
+
+def create_state(spec: TableSpec, packed: bool = None) -> TableState:
+    """Allocate the device pool(s) for one shard."""
     cap = spec.capacity_per_shard
+    if packed is None:
+        packed = is_packed(spec)
+    if packed:
+        _, padded, slots = _layout(spec)
+        data = jnp.zeros((cap, padded), dtype=jnp.float32)
+        # slot columns start at their init value
+        for (_, _name), (off, k, init_value) in slots.items():
+            if init_value != 0.0:
+                data = data.at[:, off:off + k].set(init_value)
+        return {"data": data}
     params = jnp.zeros((cap, spec.dim), dtype=spec.dtype)
     slots: List[Dict[str, jnp.ndarray]] = []
     for seg in spec.segments:
@@ -52,16 +104,96 @@ def create_state(spec: TableSpec) -> TableState:
     return {"params": params, "slots": slots}
 
 
+def init_packed(spec: TableSpec, key: jax.Array, n: int) -> jnp.ndarray:
+    """Fresh packed rows [n, P]: per-segment initializer values for params,
+    slot init values, zero padding."""
+    _, padded, slots = _layout(spec)
+    seg_keys = jax.random.split(key, max(len(spec.segments), 1))
+    pieces = [seg.initializer.init(seg_keys[i], (n, seg.dim))
+              for i, seg in enumerate(spec.segments)]
+    row = jnp.zeros((n, padded), jnp.float32)
+    row = row.at[:, :spec.dim].set(jnp.concatenate(pieces, axis=-1))
+    for (_i, _name), (off, k, init_value) in slots.items():
+        if init_value != 0.0:
+            row = row.at[:, off:off + k].set(init_value)
+    return row
+
+
+# ----------------------------------------------------------------------
+# packed fast path (used by the fused engine step)
+# ----------------------------------------------------------------------
+
+def gather_packed(spec: TableSpec, state: TableState,
+                  rows: jnp.ndarray) -> jnp.ndarray:
+    """Gather full packed rows [n, P]; -1 rows read zeros."""
+    rows = _sanitize(rows, spec.capacity_per_shard)
+    return state["data"].at[rows].get(mode="fill", fill_value=0)
+
+
+def scatter_packed(spec: TableSpec, state: TableState, rows: jnp.ndarray,
+                   values: jnp.ndarray) -> TableState:
+    """Write full packed rows; -1 rows dropped. THE one scatter per step."""
+    rows = _sanitize(rows, spec.capacity_per_shard)
+    return {"data": state["data"].at[rows].set(values, mode="drop",
+                                               unique_indices=True)}
+
+
+def params_of(spec: TableSpec, packed: jnp.ndarray) -> jnp.ndarray:
+    """Params columns of gathered packed rows."""
+    return packed[..., :spec.dim]
+
+
+def optimize_packed(spec: TableSpec, packed: jnp.ndarray, grads: jnp.ndarray,
+                    step: jnp.ndarray) -> jnp.ndarray:
+    """Pure row math: apply each segment's optimizer to gathered packed rows
+    (ref BatchOptimize, embedding_hash_table_interface.h:73). Returns the
+    new packed rows; the caller scatters them once."""
+    _, padded, slot_offs = _layout(spec)
+    new_p, new_slots = [], {}
+    off = 0
+    for i, seg in enumerate(spec.segments):
+        g_seg = grads[..., off:off + seg.dim]
+        p_seg = packed[..., off:off + seg.dim]
+        gathered = {}
+        for name in seg.optimizer.slot_spec(seg.dim):
+            o, k, _ = slot_offs[(i, name)]
+            gathered[name] = packed[..., o:o + k]
+        lr = seg.learning_rate(step)
+        p_new, slots_new = seg.optimizer.apply(p_seg, gathered, g_seg, lr, step)
+        new_p.append(p_new)
+        for name, val in slots_new.items():
+            new_slots[(i, name)] = val
+        off += seg.dim
+    out = packed
+    out = out.at[..., :spec.dim].set(jnp.concatenate(new_p, axis=-1))
+    for (i, name), val in new_slots.items():
+        o, k, _ = slot_offs[(i, name)]
+        out = out.at[..., o:o + k].set(val)
+    return out
+
+
+# ----------------------------------------------------------------------
+# generic API (both modes) — lookup / init / optimize / assign / restore
+# ----------------------------------------------------------------------
+
+def lookup(spec: TableSpec, state: TableState, rows: jnp.ndarray) -> jnp.ndarray:
+    """Gather rows ([n] int32, -1 -> zeros) as [n, dim] float32."""
+    if "data" in state:
+        return params_of(spec, gather_packed(spec, state, rows))
+    rows = _sanitize(rows, spec.capacity_per_shard)
+    emb = state["params"].at[rows].get(mode="fill", fill_value=0)
+    return emb.astype(jnp.float32)
+
+
 def init_rows(spec: TableSpec, state: TableState, rows: jnp.ndarray,
               key: jax.Array) -> TableState:
-    """Initialize newly-admitted (or recycled) rows.
-
-    `rows` is int32 [k], padded with -1 (dropped by scatter). Writes each
-    segment's initializer values into params and RESETS optimizer slots to
-    their init value — critical when a row is recycled after eviction so the
-    new ID doesn't inherit stale accumulator state."""
-    rows = _sanitize(rows, spec.capacity_per_shard)
+    """Initialize newly-admitted (or recycled) rows: initializer values for
+    params and RESET optimizer slots — critical when a row is recycled after
+    eviction so the new id doesn't inherit stale accumulator state."""
     k = rows.shape[0]
+    if "data" in state:
+        return scatter_packed(spec, state, rows, init_packed(spec, key, k))
+    rows = _sanitize(rows, spec.capacity_per_shard)
     seg_keys = jax.random.split(key, max(len(spec.segments), 1))
     pieces = [seg.initializer.init(seg_keys[i], (k, seg.dim))
               for i, seg in enumerate(spec.segments)]
@@ -79,20 +211,14 @@ def init_rows(spec: TableSpec, state: TableState, rows: jnp.ndarray,
     return {"params": params, "slots": new_slots}
 
 
-def lookup(spec: TableSpec, state: TableState, rows: jnp.ndarray) -> jnp.ndarray:
-    """Gather rows ([n] int32, -1 -> zeros) as [n, dim] float32."""
-    rows = _sanitize(rows, spec.capacity_per_shard)
-    emb = state["params"].at[rows].get(mode="fill", fill_value=0)
-    return emb.astype(jnp.float32)
-
-
 def apply_gradients(spec: TableSpec, state: TableState, rows: jnp.ndarray,
                     grads: jnp.ndarray, step: jnp.ndarray) -> TableState:
-    """Per-segment per-row optimize (ref BatchOptimize,
-    embedding_hash_table_interface.h:73).
-
-    `rows` [m] must be unique (the host batcher dedups); -1 entries drop.
-    `grads` [m, dim] are the summed gradients for each unique row."""
+    """Per-segment per-row optimize (ref BatchOptimize). `rows` [m] must be
+    unique; -1 entries drop. `grads` [m, dim] are summed per unique row."""
+    if "data" in state:
+        packed = gather_packed(spec, state, rows)
+        return scatter_packed(spec, state, rows,
+                              optimize_packed(spec, packed, grads, step))
     rows = _sanitize(rows, spec.capacity_per_shard)
     p = state["params"].at[rows].get(mode="fill", fill_value=0).astype(jnp.float32)
     new_p_pieces = []
@@ -123,6 +249,10 @@ def apply_gradients(spec: TableSpec, state: TableState, rows: jnp.ndarray,
 def assign_rows(spec: TableSpec, state: TableState, rows: jnp.ndarray,
                 values: jnp.ndarray) -> TableState:
     """Directly write embedding values (ref Assign — restore / param-sync)."""
+    if "data" in state:
+        packed = gather_packed(spec, state, rows)
+        packed = packed.at[..., :spec.dim].set(values.astype(jnp.float32))
+        return scatter_packed(spec, state, rows, packed)
     rows = _sanitize(rows, spec.capacity_per_shard)
     params = state["params"].at[rows].set(values.astype(spec.dtype), mode="drop")
     return {"params": params, "slots": state["slots"]}
@@ -130,10 +260,15 @@ def assign_rows(spec: TableSpec, state: TableState, rows: jnp.ndarray,
 
 def restore_packed_rows(spec: TableSpec, state: TableState, rows: jnp.ndarray,
                         packed: jnp.ndarray) -> TableState:
-    """Write full row state (params + optimizer slots) from a packed [k,
-    width] value matrix — the two-tier revive path (embedding/tiered.py).
-    Column layout matches tiered.pack_rows: params, then each segment's slot
-    arrays in sorted-name order."""
+    """Write full row state (params + optimizer slots) from a packed
+    [k, width] value matrix — the two-tier revive path. Column layout is
+    the packed layout (params, then per-segment slots in sorted-name
+    order), which tiered.pack_rows matches."""
+    if "data" in state:
+        _, padded, _ = _layout(spec)
+        k, w = packed.shape
+        full = jnp.zeros((k, padded), jnp.float32).at[:, :w].set(packed)
+        return scatter_packed(spec, state, rows, full)
     rows = _sanitize(rows, spec.capacity_per_shard)
     off = spec.dim
     params = state["params"].at[rows].set(
@@ -151,10 +286,92 @@ def restore_packed_rows(spec: TableSpec, state: TableState, rows: jnp.ndarray,
     return {"params": params, "slots": new_slots}
 
 
-def slot_arrays(state: TableState) -> List[Tuple[str, jnp.ndarray]]:
-    """Flat (name, array) list of optimizer state, for checkpointing."""
+def params_view(spec: TableSpec, state: TableState) -> jnp.ndarray:
+    """[..., cap, dim] params of a state in either storage mode."""
+    if "data" in state:
+        return state["data"][..., :spec.dim]
+    return state["params"]
+
+
+def slot_view(spec: TableSpec, state: TableState, seg_idx: int,
+              name: str) -> jnp.ndarray:
+    """[..., cap, k] optimizer slot array in either storage mode."""
+    if "data" in state:
+        off, k, _ = _layout(spec)[2][(seg_idx, name)]
+        return state["data"][..., off:off + k]
+    return state["slots"][seg_idx][name]
+
+
+# ----------------------------------------------------------------------
+# host-side accessors (checkpoint / export / streaming / tiered)
+# ----------------------------------------------------------------------
+
+def params_np(spec: TableSpec, shard_state) -> np.ndarray:
+    """[cap, dim] params of one (host-fetched) shard state, f32."""
+    if "data" in shard_state:
+        return np.asarray(shard_state["data"], np.float32)[:, :spec.dim]
+    return np.asarray(shard_state["params"], np.float32)
+
+
+def slot_items_np(spec: TableSpec, shard_state) -> List[Tuple[str, np.ndarray]]:
+    """[('seg{i}/{name}', [cap, k]), ...] for one shard, f32, sorted order."""
     out = []
-    for i, seg_slots in enumerate(state["slots"]):
+    if "data" in shard_state:
+        data = np.asarray(shard_state["data"], np.float32)
+        _, _, slot_offs = _layout(spec)
+        for i, seg in enumerate(spec.segments):
+            for name in sorted(seg.optimizer.slot_spec(seg.dim)):
+                off, k, _ = slot_offs[(i, name)]
+                out.append((f"seg{i}/{name}", data[:, off:off + k]))
+        return out
+    for i, seg_slots in enumerate(shard_state["slots"]):
         for name, arr in sorted(seg_slots.items()):
-            out.append((f"seg{i}/{name}", arr))
+            out.append((f"seg{i}/{name}", np.asarray(arr, np.float32)))
     return out
+
+
+def slot_arrays(spec_or_state, state=None):
+    """Back-compat shim: slot_arrays(spec, state) preferred; legacy
+    slot_arrays(state) only works for structure-of-arrays states."""
+    if state is None:
+        st = spec_or_state
+        out = []
+        for i, seg_slots in enumerate(st["slots"]):
+            for name, arr in sorted(seg_slots.items()):
+                out.append((f"seg{i}/{name}", arr))
+        return out
+    return slot_items_np(spec_or_state, state)
+
+
+def state_from_np(spec: TableSpec, pools: np.ndarray,
+                  slot_stacks: Dict[str, np.ndarray],
+                  packed: bool = None) -> TableState:
+    """Build a device state (with leading shard axis) from host arrays:
+    pools [S, cap, dim], slot_stacks {'seg{i}/{name}': [S, cap, k]}."""
+    S, cap, _ = pools.shape
+    if packed is None:
+        packed = is_packed(spec)
+    if packed:
+        _, padded, slot_offs = _layout(spec)
+        data = np.zeros((S, cap, padded), np.float32)
+        data[:, :, :spec.dim] = pools
+        for i, seg in enumerate(spec.segments):
+            for name in seg.optimizer.slot_spec(seg.dim):
+                off, k, init_value = slot_offs[(i, name)]
+                key = f"seg{i}/{name}"
+                if key in slot_stacks:
+                    data[:, :, off:off + k] = slot_stacks[key]
+                else:
+                    data[:, :, off:off + k] = init_value
+        return {"data": jnp.asarray(data)}
+    state = {"params": jnp.asarray(pools).astype(spec.dtype), "slots": []}
+    for i, seg in enumerate(spec.segments):
+        d = {}
+        for name, (k, init_value) in seg.optimizer.slot_spec(seg.dim).items():
+            key = f"seg{i}/{name}"
+            if key in slot_stacks:
+                d[name] = jnp.asarray(slot_stacks[key])
+            else:
+                d[name] = jnp.full((S, cap, k), init_value, jnp.float32)
+        state["slots"].append(d)
+    return state

@@ -39,7 +39,11 @@ def state_width(spec: TableSpec) -> int:
 
 def pack_rows(spec: TableSpec, shard_state, rows: np.ndarray) -> np.ndarray:
     """Gather [len(rows), width] full-state matrix from a (host-side) shard
-    state dict {"params": [cap, D], "slots": [...]}."""
+    state. In packed mode this is a direct slice — the archive row format IS
+    the device row format."""
+    if "data" in shard_state:
+        return np.asarray(shard_state["data"],
+                          np.float32)[rows][:, :state_width(spec)]
     pieces = [np.asarray(shard_state["params"], np.float32)[rows]]
     for seg, seg_slots in zip(spec.segments, shard_state["slots"]):
         for name in sorted(seg_slots):

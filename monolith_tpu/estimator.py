@@ -110,7 +110,8 @@ class Estimator:
             _, preds, _ = self.trainer._jit_eval(
                 self.trainer.table_states, self.trainer.params,
                 self.trainer.model_state, inputs,
-                {k: jnp.asarray(v) for k, v in batch.items()})
+                {k: jnp.asarray(v) for k, v in batch.items()},
+                np.int32(self.trainer.step))
             yield np.asarray(preds)
 
     def export_saved_model(self, export_dir: str) -> str:

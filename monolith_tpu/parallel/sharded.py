@@ -46,6 +46,23 @@ from monolith_tpu.training.trainer import Trainer, TrainerConfig
 from monolith_tpu.embedding import table as table_lib
 
 
+def _fused_shard_lookup(spec, st, tin, key):
+    """Per-shard packed gather + new-row init select (+ tiered revive)."""
+    rows = jnp.asarray(tin["rows"])[0]
+    p = table_lib.gather_packed(spec, st, rows)
+    init = table_lib.init_packed(spec, key, rows.shape[0])
+    mask = jnp.asarray(tin["new_mask"])[0]
+    p = jnp.where((mask > 0)[:, None], init, p)
+    if "revive_pos" in tin:
+        pos = jnp.asarray(tin["revive_pos"])[0]
+        vals = jnp.asarray(tin["revive_values"])[0]
+        safe = jnp.where(pos < 0, jnp.int32(p.shape[0]), pos.astype(jnp.int32))
+        full = jnp.zeros((vals.shape[0], p.shape[1]), jnp.float32
+                         ).at[:, :vals.shape[1]].set(vals)
+        p = p.at[safe].set(full, mode="drop", unique_indices=True)
+    return p
+
+
 class ShardedTrainer(Trainer):
     """Trainer whose step runs under shard_map over a 1-axis mesh.
 
@@ -85,24 +102,32 @@ class ShardedTrainer(Trainer):
             my = jax.lax.axis_index(ax)
             key = jax.random.fold_in(jax.random.fold_in(base_key, stepno), my)
 
-            # admit new rows into the local shard (+ tiered revive)
-            new_states = {}
+            # admit new rows into the local shard (+ tiered revive); packed
+            # mode defers the write to the single end-of-step scatter
+            new_states, prows = {}, {}
             for tname, tin in inputs.items():
                 spec = specs[tname]
                 st = jax.tree.map(lambda x: x[0], table_states[tname])
-                nr = engine.new_rows_from(tin["rows"], tin)[0]
-                st = table_lib.init_rows(spec, st, nr, key)
-                if "revive_rows" in tin:
-                    st = table_lib.restore_packed_rows(
-                        spec, st, tin["revive_rows"][0],
-                        tin["revive_values"][0])
+                if engine.packed:
+                    prows[tname] = _fused_shard_lookup(spec, st, tin, key)
+                else:
+                    nr = engine.new_rows_from(tin["rows"], tin)[0]
+                    st = table_lib.init_rows(spec, st, nr, key)
+                    if "revive_rows" in tin:
+                        st = table_lib.restore_packed_rows(
+                            spec, st, tin["revive_rows"][0],
+                            tin["revive_values"][0])
                 new_states[tname] = st
 
             # local lookup + all_gather (fwd "alltoall")
             gathered = {}
             for tname, tin in inputs.items():
                 spec = specs[tname]
-                emb_local = table_lib.lookup(spec, new_states[tname], tin["rows"][0])
+                if engine.packed:
+                    emb_local = table_lib.params_of(spec, prows[tname])
+                else:
+                    emb_local = table_lib.lookup(spec, new_states[tname],
+                                                 tin["rows"][0])
                 emb_all = jax.lax.all_gather(emb_local, ax)  # [S, U, D]
                 gathered[tname] = emb_all.reshape(n * U, spec.dim)
 
@@ -143,8 +168,15 @@ class ShardedTrainer(Trainer):
                 g_all = gemb[tname].reshape(n, U, spec.dim)
                 g_local = jax.lax.psum_scatter(g_all, ax, scatter_dimension=0,
                                                tiled=False) / n
-                st = table_lib.apply_gradients(spec, new_states[tname],
-                                               tin["rows"][0], g_local, stepno)
+                if engine.packed:
+                    new_p = table_lib.optimize_packed(spec, prows[tname],
+                                                      g_local, stepno)
+                    st = table_lib.scatter_packed(spec, new_states[tname],
+                                                  tin["rows"][0], new_p)
+                else:
+                    st = table_lib.apply_gradients(spec, new_states[tname],
+                                                   tin["rows"][0], g_local,
+                                                   stepno)
                 out_states[tname] = jax.tree.map(lambda x: x[None], st)
 
             preds = task.predictions(out)
@@ -183,24 +215,30 @@ class ShardedTrainer(Trainer):
             my = jax.lax.axis_index(ax)
             key = jax.random.fold_in(jax.random.fold_in(base_key, stepno), my)
 
-            new_states = {}
+            new_states, prows = {}, {}
             for tname, tin in inputs.items():
                 spec = specs[tname]
                 st = jax.tree.map(lambda x: x[0], table_states[tname])
-                nr = engine.new_rows_from(tin["rows"], tin)[0]
-                st = table_lib.init_rows(spec, st, nr, key)
-                if "revive_rows" in tin:
-                    st = table_lib.restore_packed_rows(
-                        spec, st, tin["revive_rows"][0],
-                        tin["revive_values"][0])
+                if engine.packed:
+                    prows[tname] = _fused_shard_lookup(spec, st, tin, key)
+                else:
+                    nr = engine.new_rows_from(tin["rows"], tin)[0]
+                    st = table_lib.init_rows(spec, st, nr, key)
+                    if "revive_rows" in tin:
+                        st = table_lib.restore_packed_rows(
+                            spec, st, tin["revive_rows"][0],
+                            tin["revive_values"][0])
                 new_states[tname] = st
 
             # local unique rows per shard (not exchanged)
             uniques = {}
             for tname, tin in inputs.items():
                 spec = specs[tname]
-                uniques[tname] = table_lib.lookup(spec, new_states[tname],
-                                                  tin["rows"][0])  # [U, D]
+                if engine.packed:
+                    uniques[tname] = table_lib.params_of(spec, prows[tname])
+                else:
+                    uniques[tname] = table_lib.lookup(spec, new_states[tname],
+                                                      tin["rows"][0])  # [U, D]
 
             def loss_fn(params, uniques):
                 retrieved = engine.retrieve_unique(uniques, stepno)
@@ -245,9 +283,15 @@ class ShardedTrainer(Trainer):
                 # gu already holds the summed grads per local unique row
                 # (reverse a2a + scatter-add generated by autodiff); divide by
                 # n for global-mean loss semantics
-                st = table_lib.apply_gradients(spec, new_states[tname],
-                                               tin["rows"][0],
-                                               gu[tname] / n, stepno)
+                if engine.packed:
+                    new_p = table_lib.optimize_packed(spec, prows[tname],
+                                                      gu[tname] / n, stepno)
+                    st = table_lib.scatter_packed(spec, new_states[tname],
+                                                  tin["rows"][0], new_p)
+                else:
+                    st = table_lib.apply_gradients(spec, new_states[tname],
+                                                   tin["rows"][0],
+                                                   gu[tname] / n, stepno)
                 out_states[tname] = jax.tree.map(lambda x: x[None], st)
 
             preds = task.predictions(out)

@@ -41,10 +41,12 @@ def export_model(trainer, directory: str, step: Optional[int] = None) -> str:
         with open(os.path.join(path, "model_state.msgpack"), "wb") as f:
             f.write(serialization.to_bytes(jax.device_get(trainer.model_state)))
 
+    from monolith_tpu.embedding import table as table_lib
+
     meta = {"step": step, "ts": int(time.time()), "tables": {}}
     for tname, spec in trainer.engine.tables.items():
         state = jax.device_get(trainer.table_states[tname])
-        num_shards = state["params"].shape[0]
+        num_shards = jax.tree.leaves(state)[0].shape[0]
         seg_meta = [{"dim": s.dim, "compressor": s.compressor.name}
                     for s in spec.segments]
         meta["tables"][tname] = {"shards": num_shards, "dim": spec.dim,
@@ -54,7 +56,7 @@ def export_model(trainer, directory: str, step: Optional[int] = None) -> str:
             store = trainer.engine.stores[tname][s]
             fids, rows, _, _ = store.save()
             # export only live rows, in fid order, compressed per segment
-            pool = np.asarray(state["params"][s], dtype=np.float32)
+            pool = table_lib.params_np(spec, jax.tree.map(lambda x: x[s], state))
             live = pool[rows] if len(rows) else np.zeros((0, spec.dim), np.float32)
             arrays = {"fids": fids}
             off = 0

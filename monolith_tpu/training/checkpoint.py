@@ -67,17 +67,17 @@ def save(trainer, directory: str, evict_before_save: bool = False,
     if not dense_only:
         for tname, spec in trainer.engine.tables.items():
             state = jax.device_get(trainer.table_states[tname])
-            num_shards = state["params"].shape[0]
+            num_shards = jax.tree.leaves(state)[0].shape[0]
             meta["tables"][tname] = {"shards": num_shards, "dim": spec.dim}
             for s in range(num_shards):
                 store = trainer.engine.stores[tname][s]
                 fids, rows, tss, counts = store.save()
-                arrays = {"pool": state["params"][s],
+                shard = jax.tree.map(lambda x: x[s], state)
+                arrays = {"pool": table_lib.params_np(spec, shard),
                           "fids": fids, "rows": rows, "tss": tss,
                           "counts": counts}
-                for name, arr in table_lib.slot_arrays(
-                        jax.tree.map(lambda x: x[s], state)):
-                    arrays["slot:" + name] = np.asarray(arr)
+                for name, arr in table_lib.slot_items_np(spec, shard):
+                    arrays["slot:" + name] = arr
                 np.savez(os.path.join(_tables_dir(path), f"{tname}-s{s}.npz"),
                          **arrays)
                 blob = store.filter_save()
@@ -108,15 +108,16 @@ def save_delta(trainer, directory: str, since_ts: int,
             "ts": int(time.time()), "tables": {}}
     for tname, spec in trainer.engine.tables.items():
         state = jax.device_get(trainer.table_states[tname])
-        num_shards = state["params"].shape[0]
+        num_shards = jax.tree.leaves(state)[0].shape[0]
         meta["tables"][tname] = {"shards": num_shards, "dim": spec.dim}
         for s in range(num_shards):
             store = trainer.engine.stores[tname][s]
             fids, rows, tss, counts = store.save()
             sel = tss >= np.uint32(since_ts)
             fids, rows, tss, counts = fids[sel], rows[sel], tss[sel], counts[sel]
-            values = (np.asarray(state["params"][s], np.float32)[rows]
-                      if len(rows) else np.zeros((0, spec.dim), np.float32))
+            pool = table_lib.params_np(spec, jax.tree.map(lambda x: x[s], state))
+            values = (pool[rows] if len(rows)
+                      else np.zeros((0, spec.dim), np.float32))
             np.savez(os.path.join(path, f"{tname}-s{s}.npz"),
                      fids=fids, tss=tss, counts=counts, values=values)
     with open(os.path.join(path, "meta.json"), "w") as f:
@@ -197,7 +198,7 @@ def restore(trainer, directory: str, step: Optional[int] = None) -> int:
         for tname, tmeta in meta["tables"].items():
             spec = trainer.engine.tables[tname]
             state = jax.device_get(trainer.table_states[tname])
-            cur_shards = state["params"].shape[0]
+            cur_shards = jax.tree.leaves(state)[0].shape[0]
             if tmeta["shards"] != cur_shards:
                 _restore_resharded(trainer, tname, spec, path,
                                    tmeta["shards"], cur_shards, state)
@@ -215,12 +216,10 @@ def restore(trainer, directory: str, step: Optional[int] = None) -> int:
                 for k in z.files:
                     if k.startswith("slot:"):
                         slot_stacks.setdefault(k[5:], []).append(z[k])
-            new_state = {"params": jnp.asarray(np.stack(pools)), "slots": []}
-            for i, seg_slots in enumerate(state["slots"]):
-                d = {}
-                for name in seg_slots:
-                    d[name] = jnp.asarray(np.stack(slot_stacks[f"seg{i}/{name}"]))
-                new_state["slots"].append(d)
+            new_state = table_lib.state_from_np(
+                spec, np.stack(pools),
+                {k: np.stack(v) for k, v in slot_stacks.items()},
+                packed="data" in state)
             trainer.table_states[tname] = _place_like_trainer(trainer, new_state)
 
     trainer.step = meta["step"]
@@ -278,9 +277,15 @@ def _restore_resharded(trainer, tname, spec, path, old_shards: int,
     dest = np.fromiter((shard_of(int(f), new_shards) for f in fids),
                        dtype=np.int64, count=len(fids))
     cap = spec.capacity_per_shard
-    pools = np.zeros((new_shards, cap, spec.dim), dtype=pool_dtype or np.float32)
+    pools = np.zeros((new_shards, cap, spec.dim), dtype=np.float32)
     slot_out = {k: np.zeros((new_shards, cap) + v.shape[1:], dtype=v.dtype)
                 for k, v in slots_cat.items()}
+    # untouched rows keep slot init values
+    for i, seg in enumerate(spec.segments):
+        for name, (k, init_value) in seg.optimizer.slot_spec(seg.dim).items():
+            key = f"seg{i}/{name}"
+            if key in slot_out and init_value != 0.0:
+                slot_out[key][:] = init_value
     for s in range(new_shards):
         sel = dest == s
         n = int(sel.sum())
@@ -295,23 +300,9 @@ def _restore_resharded(trainer, tname, spec, path, old_shards: int,
         for k, v in slots_cat.items():
             slot_out[k][s, :n] = v[sel]
 
-    # 3. rebuild the device state, keeping freshly-initialized defaults for
-    # untouched rows' optimizer slots
-    new_state = {"params": jnp.asarray(pools), "slots": []}
-    for i, (seg, seg_slots) in enumerate(zip(spec.segments, state["slots"])):
-        d = {}
-        for name in seg_slots:
-            key = f"seg{i}/{name}"
-            if key in slot_out:
-                base = np.asarray(seg_slots[name]).copy()
-                # overwrite only assigned rows; rows >= n keep defaults
-                for s in range(new_shards):
-                    n = int((dest == s).sum())
-                    base[s, :n] = slot_out[key][s, :n]
-                d[name] = jnp.asarray(base)
-            else:
-                d[name] = jnp.asarray(seg_slots[name])
-        new_state["slots"].append(d)
+    # 3. rebuild the device state in the trainer's storage mode
+    new_state = table_lib.state_from_np(spec, pools, slot_out,
+                                        packed="data" in state)
     trainer.table_states[tname] = _place_like_trainer(trainer, new_state)
 
 

@@ -73,7 +73,10 @@ class StreamingTrainer:
                 if fids.size == 0:
                     continue
                 fids_all.append(fids)
-                vals_all.append(np.asarray(state["params"][s])[rows])
+                from monolith_tpu.embedding import table as table_lib
+                pool = table_lib.params_np(
+                    spec, jax.tree.map(lambda x: x[s], state))
+                vals_all.append(pool[rows])
             if not fids_all:
                 continue
             fids = np.concatenate(fids_all)

@@ -91,8 +91,14 @@ class Trainer:
         def step_fn(table_states, params, model_state, opt_state, inputs,
                     batch, base_key, stepno):
             key = jax.random.fold_in(base_key, stepno)
-            table_states = engine.admit_rows(table_states, inputs, key)
-            unique = engine.lookup_unique(table_states, inputs)
+            if engine.packed:
+                # fused path (PERF.md): one gather per table; new-row init is
+                # a select over the gathered rows, not a scatter
+                prows, unique = engine.fused_lookup(table_states, inputs,
+                                                    base_key, stepno)
+            else:
+                table_states = engine.admit_rows(table_states, inputs, key)
+                unique = engine.lookup_unique(table_states, inputs)
 
             def loss_fn(params, unique):
                 retrieved = engine.retrieve_unique(unique, stepno)
@@ -108,7 +114,13 @@ class Trainer:
                 gp, _ = clip_by_global_norm(gp, cfg.clip_norm)
             updates, opt_state = self.tx.update(gp, opt_state, params)
             params = optax.apply_updates(params, updates)
-            table_states = engine.apply_gradients(table_states, inputs, gu, stepno)
+            if engine.packed:
+                # one scatter per table: init'd + optimized rows together
+                table_states = engine.fused_apply(table_states, inputs, prows,
+                                                  gu, stepno)
+            else:
+                table_states = engine.apply_gradients(table_states, inputs,
+                                                      gu, stepno)
             preds = task.predictions(out)
             return table_states, params, new_ms, opt_state, loss, preds, aux
 

@@ -34,9 +34,9 @@ class TestPrepareBatch:
         inputs, stats = eng.prepare_batch({"uid": fids}, ts=1)
         tin = inputs["user"]
         assert tin["rows"].shape == (1, 64)
-        # compact wire ships new-row POSITIONS (int16) instead of row values
-        assert tin["new_pos"].shape == (1, 32)
-        assert tin["new_pos"].dtype == np.int16
+        # packed mode ships a new-id MASK (select-based admit, PERF.md)
+        assert tin["new_mask"].shape == (1, 64)
+        assert tin["new_mask"].sum() == 3
         assert tin["index"]["uid"].shape == (2, 3)
         assert tin["index"]["uid"].dtype == np.int16
         assert stats["unique"]["user"] == 3
@@ -191,9 +191,11 @@ class TestCompactWire:
                                        initializer=initializers.Constants(0.5)),))]
             feats = [FeatureConfig(name="f", table="t", max_length=3,
                                    combiner="sum")]
+            # packed="off": this test exercises the legacy new_pos/new_rows
+            # wire; the packed wire ships new_mask instead
             return EmbeddingEngine(tables, feats,
                                    EngineConfig(num_shards=2, unique_cap=32,
-                                                new_cap=16,
+                                                new_cap=16, packed="off",
                                                 compact_wire=compact))
 
         e1, e2 = build(True), build(False)

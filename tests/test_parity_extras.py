@@ -225,8 +225,8 @@ class TestDeltaCheckpoint:
         r1 = tr.engine.stores["sparse"][0].lookup(fids)
         r2 = tr2.engine.stores["sparse"][0].lookup(fids)
         assert (r2 >= 0).all()
-        p1 = np.asarray(jax.device_get(tr.table_states["sparse"]["params"]))[0][r1]
-        p2 = np.asarray(jax.device_get(tr2.table_states["sparse"]["params"]))[0][r2]
+        p1 = table.params_np(tr.engine.tables["sparse"], jax.tree.map(lambda x: x[0], jax.device_get(tr.table_states["sparse"])))[r1]
+        p2 = table.params_np(tr2.engine.tables["sparse"], jax.tree.map(lambda x: x[0], jax.device_get(tr2.table_states["sparse"])))[r2]
         np.testing.assert_allclose(p1, p2, rtol=1e-6)
 
     def test_delta_smaller_than_full(self, tmp_path):
@@ -367,8 +367,9 @@ class TestRetrievers:
         z = np.load(os.path.join(path, "tables", "sparse-s0.npz"))
         store = tr.engine.stores["sparse"][0]
         fids, rows, _, _ = store.save()
-        raw = np.asarray(
-            jax.device_get(tr.table_states["sparse"])["params"][0])[rows]
+        from monolith_tpu.embedding import table as table_mod
+        raw = table_mod.params_np(spec, jax.tree.map(
+            lambda x: x[0], jax.device_get(tr.table_states["sparse"])))[rows]
         seg0 = spec.segments[0]
         expect = np.asarray(seg0.retriever.retrieve(
             jnp.asarray(raw[:, :seg0.dim]), tr.step))

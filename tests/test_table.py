@@ -48,8 +48,8 @@ class TestTableBasics:
         # update at -1 must NOT touch row 7
         st2 = table.apply_gradients(spec, st, jnp.array([-1], dtype=jnp.int32),
                                     jnp.ones((1, 4)), jnp.int32(0))
-        np.testing.assert_allclose(np.asarray(st2["params"][7]),
-                                   np.asarray(st["params"][7]))
+        np.testing.assert_allclose(np.asarray(table.params_view(spec, st2)[7]),
+                                   np.asarray(table.params_view(spec, st)[7]))
 
     def test_sgd_update(self):
         spec = make_spec()
@@ -91,11 +91,11 @@ class TestTableBasics:
         st = table.init_rows(spec, st, rows, jax.random.PRNGKey(0))
         for _ in range(5):  # accumulate norm
             st = table.apply_gradients(spec, st, rows, jnp.ones((1, 2)), jnp.int32(0))
-        norm_before = float(np.asarray(st["slots"][0]["norm"][0, 0]))
+        norm_before = float(np.asarray(table.slot_view(spec, st, 0, "norm")[0, 0]))
         assert norm_before > 5.0
         # row recycled for a new id -> init_rows must reset the accumulator
         st = table.init_rows(spec, st, rows, jax.random.PRNGKey(1))
-        np.testing.assert_allclose(np.asarray(st["slots"][0]["norm"][0]), 1.0)
+        np.testing.assert_allclose(np.asarray(table.slot_view(spec, st, 0, "norm")[0]), 1.0)
 
     def test_assign_rows(self):
         spec = make_spec()
@@ -116,8 +116,9 @@ def one_step(opt, p0, g, dim=2, lr=None, step=0, n_steps=1):
     for i in range(n_steps):
         st = table.apply_gradients(spec, st, rows,
                                    jnp.full((1, dim), g), jnp.int32(step + i))
-    return (np.asarray(st["params"][0]),
-            {k: np.asarray(v[0]) for k, v in st["slots"][0].items()})
+    slots = {name.split("/", 1)[1]: arr[0]
+             for name, arr in table.slot_items_np(spec, st)}
+    return (np.asarray(table.params_view(spec, st)[0]), slots)
 
 
 class TestOptimizerNumerics:
@@ -179,10 +180,10 @@ class TestOptimizerNumerics:
         rows = jnp.array([0], dtype=jnp.int32)
         st = table.init_rows(spec, st, rows, jax.random.PRNGKey(0))
         for i in range(200):
-            w = float(np.asarray(st["params"][0, 0]))
+            w = float(np.asarray(table.params_view(spec, st)[0, 0]))
             st = table.apply_gradients(spec, st, rows,
                                        jnp.array([[w - 2.0]]), jnp.int32(i))
-        assert abs(float(np.asarray(st["params"][0, 0])) - 2.0) < 0.1
+        assert abs(float(np.asarray(table.params_view(spec, st)[0, 0])) - 2.0) < 0.1
 
     def test_group_ftrl_zeroes_whole_row(self):
         opt = optimizers.GroupFtrl(learning_rate=0.1,
@@ -206,10 +207,10 @@ class TestOptimizerNumerics:
         st = table.init_rows(spec, st, rows, jax.random.PRNGKey(0))
         st = table.apply_gradients(spec, st, rows, jnp.zeros((1, 1)), jnp.int32(10))
         # value = (1-0.5)*0 + 0.5*(10-0) = 5 ; last_step = 10
-        np.testing.assert_allclose(np.asarray(st["params"][0]), 5.0)
-        np.testing.assert_allclose(np.asarray(st["slots"][0]["last_step"][0]), 10.0)
+        np.testing.assert_allclose(np.asarray(table.params_view(spec, st)[0]), 5.0)
+        np.testing.assert_allclose(np.asarray(table.slot_view(spec, st, 0, "last_step")[0]), 10.0)
         st = table.apply_gradients(spec, st, rows, jnp.zeros((1, 1)), jnp.int32(14))
-        np.testing.assert_allclose(np.asarray(st["params"][0]), 0.5 * 5 + 0.5 * 4)
+        np.testing.assert_allclose(np.asarray(table.params_view(spec, st)[0]), 0.5 * 5 + 0.5 * 4)
 
     def test_adadelta_runs(self):
         p, s = one_step(optimizers.Adadelta(learning_rate=0.1), 1.0, 0.5)
@@ -249,7 +250,7 @@ class TestSchedules:
         st = table.init_rows(spec, st, rows, jax.random.PRNGKey(0))
         st = table.apply_gradients(spec, st, rows, jnp.ones((1, 1)), jnp.int32(0))
         # schedule overrides optimizer's own lr
-        np.testing.assert_allclose(np.asarray(st["params"][0]), -0.5, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(table.params_view(spec, st)[0]), -0.5, rtol=1e-6)
 
 
 class TestJitted:
