@@ -230,3 +230,74 @@ def instance_reweight(source, action_weights: Dict[int, int],
                 break
         for _ in range(int(w)):
             yield ex
+
+
+_OPS = {
+    "gt": lambda v, o: v > o[0],
+    "ge": lambda v, o: v >= o[0],
+    "eq": lambda v, o: v == o[0],
+    "lt": lambda v, o: v < o[0],
+    "le": lambda v, o: v <= o[0],
+    "neq": lambda v, o: v != o[0],
+    "between": lambda v, o: o[0] <= v < o[1],
+    "in": lambda v, o: v in o,
+}
+
+
+def add_action(source, field_name: str, op: str, operand, action: int):
+    """Append `action` to LineId.actions when a LineId field satisfies a
+    comparison (ref feature_utils.py:261 add_action; ops gt/ge/eq/lt/le/
+    neq/between/in)."""
+    if op not in _OPS:
+        raise ValueError(f"unknown op '{op}'")
+    ops = operand if isinstance(operand, (list, tuple)) else [operand]
+    test = _OPS[op]
+    for ex in source:
+        v = getattr(ex.line_id, field_name)
+        if test(v, ops):
+            ex.line_id.actions = list(ex.line_id.actions) + [int(action)]
+        yield ex
+
+
+def multi_label_gen(source, head_to_index: Dict[int, int],
+                    head_field: str = "chnid",
+                    pos_actions: Sequence[int] = (),
+                    neg_actions: Sequence[int] = (),
+                    use_origin_label: bool = False,
+                    pos_label: float = 1.0, neg_label: float = 0.0,
+                    task_num: Optional[int] = None,
+                    invalid_label: float = -1.0):
+    """Multi-head label generation (ref feature_utils.py:836): the head is
+    picked by a LineId field through `head_to_index`; that head's label is
+    pos_label if any positive action matched (or the origin label when
+    use_origin_label), neg_label on a negative match, all other heads get
+    `invalid_label` so their losses mask out."""
+    if task_num is None:
+        task_num = max(head_to_index.values()) + 1
+    pos, neg = set(map(int, pos_actions)), set(map(int, neg_actions))
+    if use_origin_label:
+        if pos or neg:
+            raise ValueError("use_origin_label excludes pos/neg_actions")
+    elif not pos:
+        raise ValueError("pos_actions required unless use_origin_label")
+    for ex in source:
+        head = head_to_index.get(int(getattr(ex.line_id, head_field)))
+        labels = np.full(task_num, invalid_label, dtype=np.float32)
+        if head is not None:
+            if use_origin_label:
+                labels[head] = ex.labels[0] if len(ex.labels) else neg_label
+            else:
+                actions = set(int(a) for a in ex.line_id.actions)
+                if actions & pos:
+                    labels[head] = pos_label
+                elif not neg or (actions & neg):
+                    labels[head] = neg_label
+        ex.labels = labels
+        yield ex
+
+
+def gen_fid_mask(fids: np.ndarray, fid: int) -> np.ndarray:
+    """1.0 where a row of a padded fid matrix contains `fid`
+    (ref feature_utils.py:1007 gen_fid_mask)."""
+    fids = np.asarray(fids)
+    return (fids == fid).any(axis=-1).astype(np.float32)

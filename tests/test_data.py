@@ -233,3 +233,50 @@ class TestItemPool:
         for i in range(100):
             pool.add(1, {"item": np.array([i], np.int64)})
         assert pool.size(1) == 4
+
+
+class TestActionTransforms:
+    def _ex(self, chnid=0, actions=(), label=0.5):
+        from monolith_tpu.data.example import Example, LineId
+        import numpy as np
+        return Example(features={"f": np.array([1], np.int64)},
+                       labels=np.array([label], np.float32),
+                       line_id=LineId(chnid=chnid, actions=list(actions)))
+
+    def test_add_action_ops(self):
+        from monolith_tpu.data import transforms as T
+        exs = [self._ex(chnid=5), self._ex(chnid=9)]
+        out = list(T.add_action(iter(exs), "chnid", "ge", 6, action=77))
+        assert 77 not in out[0].line_id.actions
+        assert 77 in out[1].line_id.actions
+        out = list(T.add_action(iter([self._ex(chnid=5)]), "chnid",
+                                "between", [4, 6], action=3))
+        assert 3 in out[0].line_id.actions
+        out = list(T.add_action(iter([self._ex(chnid=5)]), "chnid",
+                                "in", [1, 5], action=4))
+        assert 4 in out[0].line_id.actions
+
+    def test_multi_label_gen_heads(self):
+        from monolith_tpu.data import transforms as T
+        import numpy as np
+        exs = [self._ex(chnid=1, actions=[10]),   # head 0, positive
+               self._ex(chnid=2, actions=[99]),   # head 1, negative
+               self._ex(chnid=7, actions=[10])]   # unknown head
+        out = list(T.multi_label_gen(iter(exs), {1: 0, 2: 1},
+                                     pos_actions=[10]))
+        np.testing.assert_allclose(out[0].labels, [1.0, -1.0])
+        np.testing.assert_allclose(out[1].labels, [-1.0, 0.0])
+        np.testing.assert_allclose(out[2].labels, [-1.0, -1.0])
+
+    def test_multi_label_gen_origin_label(self):
+        from monolith_tpu.data import transforms as T
+        import numpy as np
+        out = list(T.multi_label_gen(iter([self._ex(chnid=1, label=0.25)]),
+                                     {1: 0}, use_origin_label=True))
+        np.testing.assert_allclose(out[0].labels, [0.25])
+
+    def test_gen_fid_mask(self):
+        from monolith_tpu.data.transforms import gen_fid_mask
+        import numpy as np
+        fids = np.array([[1, 2, -1], [3, 4, -1]], np.int64)
+        np.testing.assert_allclose(gen_fid_mask(fids, 2), [1.0, 0.0])

@@ -40,3 +40,47 @@ class TestMMoE:
             losses.append(float(out["loss"]))
             assert "loss_task0" in out["aux"]
         assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+class TestDIN:
+    def test_din_task_learns(self):
+        from monolith_tpu.data.synthetic import SyntheticCTR
+        from monolith_tpu.embedding.engine import EngineConfig
+        from monolith_tpu.models.din import DINTask
+        from monolith_tpu.training.trainer import Trainer, TrainerConfig
+
+        task = DINTask(embedding_dim=8, capacity_per_shard=4096,
+                       hidden=(32, 16))
+        tr = Trainer(task, TrainerConfig(
+            engine=EngineConfig(num_shards=1, unique_cap=1024, new_cap=1024),
+            log_every=0))
+        data = SyntheticCTR(num_users=100, num_items=60, batch_size=256,
+                            seed=21)
+        it = iter(data)
+        losses = []
+        for _ in range(90):
+            fb, b = next(it)
+            out = tr.train_step(fb, b)
+            losses.append(float(out["loss"]))
+        assert np.isfinite(losses).all()
+        ev = tr.evaluate(iter(SyntheticCTR(num_users=100, num_items=60,
+                                           batch_size=256, seed=21)),
+                         max_steps=10)
+        assert ev["auc"] > 0.53, ev
+
+    def test_dien_encoder_variant_runs(self):
+        from monolith_tpu.data.synthetic import SyntheticCTR
+        from monolith_tpu.embedding.engine import EngineConfig
+        from monolith_tpu.models.din import DINTask
+        from monolith_tpu.training.trainer import Trainer, TrainerConfig
+
+        task = DINTask(embedding_dim=8, capacity_per_shard=2048,
+                       hidden=(16,), seq_encoder="dien", history_length=6)
+        tr = Trainer(task, TrainerConfig(
+            engine=EngineConfig(num_shards=1, unique_cap=512, new_cap=512),
+            log_every=0))
+        data = SyntheticCTR(num_users=50, num_items=30, batch_size=128, seed=3)
+        fb, b = data.batch()
+        fb = {k: (v[:, :6] if k == "hist_items" else v) for k, v in fb.items()}
+        out = tr.train_step(fb, b)
+        assert np.isfinite(float(out["loss"]))
