@@ -280,3 +280,43 @@ class TestActionTransforms:
         import numpy as np
         fids = np.array([[1, 2, -1], [3, 4, -1]], np.int64)
         np.testing.assert_allclose(gen_fid_mask(fids, 2), [1.0, 0.0])
+
+
+class TestFeatureList:
+    def _write(self, tmp_path):
+        content = """\
+# demo feature list
+column_name: user, item, context
+cache_column: uid_cache
+feature_name=f_uid slot=1 method=DirectString depend=user occurrence_threshold=3
+feature_name=fc_clicks slot=200 method=Seq depend=user,item max_seq_len=20 shared=true
+feature_name=fc_a-fc_b slot=201 method=Combine depend=a,b args=x, y
+"""
+        p = tmp_path / "fl.conf"
+        p.write_text(content)
+        return str(p)
+
+    def test_parse_and_lookup(self, tmp_path):
+        from monolith_tpu.data.feature_list import FeatureList
+        fl = FeatureList.parse(self._write(tmp_path))
+        assert len(fl) == 3
+        assert fl.column_name == {"user", "item", "context"}
+        assert fl.cache_columns == ["uid_cache"]
+        # lookup by bare name, prefixed name, and slot
+        assert fl["uid"].slot == 1
+        assert fl["f_uid"].occurrence_threshold == 3
+        assert fl[200].name == "clicks"
+        assert fl["a-b"].depend == ["a", "b"]
+        assert fl["clicks"].shared is True
+        assert fl["clicks"].max_seq_len == 20
+        assert "uid" in fl and "nope" not in fl
+        assert fl.get("nope") is None
+
+    def test_to_feature_configs(self, tmp_path):
+        from monolith_tpu.data.feature_list import FeatureList
+        fl = FeatureList.parse(self._write(tmp_path))
+        cfgs = {c.name: c for c in fl.to_feature_configs(table="t")}
+        assert cfgs["clicks"].combiner == "firstn"
+        assert cfgs["clicks"].max_length == 20
+        assert cfgs["uid"].combiner == "sum"
+        assert cfgs["uid"].table == "t"
