@@ -444,6 +444,71 @@ class EmbeddingEngine:
             out[tname] = st
         return out
 
+    # -- wire fusion: one int32 transfer per step (single-shard fast path) --
+
+    @property
+    def fuse_wire(self) -> bool:
+        """Ship ALL engine inputs as ONE int32 array per step. Each
+        host->device transfer has ~ms-scale fixed cost on PCIe/tunnel-
+        attached chips and serializes with host prep on small hosts;
+        packing rows+new_mask+index into one buffer cuts the per-step
+        transfer count from ~5 to 1. Enabled on the packed single-shard
+        path (multi-shard inputs are sharded pytrees; see sharded.py)."""
+        return (self.packed and self.config.num_shards == 1
+                and not self.config.tiered)
+
+    def pack_wire(self, inputs: Dict) -> np.ndarray:
+        """Host-side: pack the prepare_batch outputs into one int32 array.
+
+        Layout per table (sorted name order):
+          [U words]  rows_enc: row | (new_mask << 30); -1 rows stay -1
+          per feature (declared order): ceil(B*L/2) words of int16 index
+        """
+        U = self.config.unique_cap
+        parts = []
+        for tname in sorted(inputs):
+            tin = inputs[tname]
+            rows = tin["rows"][0].astype(np.int32, copy=True)
+            mask = tin["new_mask"][0]
+            np.bitwise_or(rows, np.int32(1 << 30), out=rows,
+                          where=mask.astype(bool))
+            parts.append(rows)
+            for f in self.table_features[tname]:
+                idx = np.ascontiguousarray(tin["index"][f.name],
+                                           dtype=np.int16).ravel()
+                if idx.size % 2:
+                    idx = np.concatenate([idx, np.full(1, -1, np.int16)])
+                parts.append(idx.view(np.int32))
+        return np.concatenate(parts)
+
+    def decode_wire(self, wire: jnp.ndarray, batch_size: int) -> Dict:
+        """Device-side inverse of pack_wire (pure jnp; shapes static)."""
+        U = self.config.unique_cap
+        inputs = {}
+        off = 0
+        for tname in sorted(self.table_features):
+            feats = self.table_features[tname]
+            if not feats:
+                continue
+            rows_enc = wire[off:off + U]
+            off += U
+            invalid = rows_enc < 0
+            mask = jnp.where(invalid, 0,
+                             (rows_enc >> 30) & 1).astype(jnp.uint8)
+            rows = jnp.where(invalid, -1, rows_enc & ((1 << 30) - 1))
+            index = {}
+            for f in feats:
+                n = batch_size * f.max_length
+                words = (n + 1) // 2
+                chunk = wire[off:off + words]
+                off += words
+                idx16 = jax.lax.bitcast_convert_type(
+                    chunk, jnp.int16).reshape(-1)[:n]
+                index[f.name] = idx16.reshape(batch_size, f.max_length)
+            inputs[tname] = {"rows": rows[None], "new_mask": mask[None],
+                             "index": index}
+        return inputs
+
     # -- packed fused path (PERF.md): ONE gather + ONE scatter per table --
 
     def fused_lookup(self, states: Dict, inputs: Dict, key: jax.Array,

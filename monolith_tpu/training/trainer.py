@@ -90,6 +90,9 @@ class Trainer:
 
         def step_fn(table_states, params, model_state, opt_state, inputs,
                     batch, base_key, stepno):
+            if "__wire__" in inputs:
+                bsz = jax.tree.leaves(batch)[0].shape[0]
+                inputs = engine.decode_wire(inputs["__wire__"], bsz)
             key = jax.random.fold_in(base_key, stepno)
             if engine.packed:
                 # fused path (PERF.md): one gather per table; new-row init is
@@ -130,6 +133,9 @@ class Trainer:
         engine, module, task = self.engine, self.module, self.task
 
         def eval_fn(table_states, params, model_state, inputs, batch, stepno):
+            if "__wire__" in inputs:
+                bsz = jax.tree.leaves(batch)[0].shape[0]
+                inputs = engine.decode_wire(inputs["__wire__"], bsz)
             pooled, _ = engine.embed(table_states, inputs, step=stepno)
             out, _ = self._apply(params, model_state, pooled, batch,
                                  training=False)
@@ -148,6 +154,8 @@ class Trainer:
         ts = int(time.time()) if ts is None else ts
         inputs, stats = self.engine.prepare_batch(fid_batch, ts=ts)
         self._maybe_init(inputs, batch)
+        if self.engine.fuse_wire:
+            inputs = {"__wire__": self.engine.pack_wire(inputs)}
         if self._jit_step is None:
             self._jit_step = self._build_step()
         if self._base_key is None:
@@ -206,6 +214,8 @@ class Trainer:
                 break
             inputs, _ = self.engine.prepare_batch(fid_batch, ts=0)
             self._maybe_init(inputs, batch)
+            if self.engine.fuse_wire:
+                inputs = {"__wire__": self.engine.pack_wire(inputs)}
             batch_j = {k: jnp.asarray(v) for k, v in batch.items()}
             loss, preds, _ = self._jit_eval(self.table_states, self.params,
                                             self.model_state, inputs, batch_j,

@@ -223,3 +223,50 @@ class TestCompactWire:
         cfg2 = EngineConfig(num_shards=1, unique_cap=65536)
         assert cfg2.index_dtype == np.int32
         assert cfg2.pos_dtype == np.int32
+
+
+class TestWireFusion:
+    def test_pack_decode_roundtrip(self):
+        eng = make_engine()
+        assert eng.fuse_wire
+        fids = np.array([[1, 2, -1], [2, 3, 3]], dtype=np.int64)
+        inputs, _ = eng.prepare_batch({"uid": fids}, ts=1)
+        wire = eng.pack_wire(inputs)
+        assert wire.dtype == np.int32 and wire.ndim == 1
+        dec = eng.decode_wire(jnp.asarray(wire), batch_size=2)
+        tin, din = inputs["user"], dec["user"]
+        np.testing.assert_array_equal(np.asarray(din["rows"]), tin["rows"])
+        np.testing.assert_array_equal(np.asarray(din["new_mask"]),
+                                      tin["new_mask"])
+        np.testing.assert_array_equal(np.asarray(din["index"]["uid"]),
+                                      tin["index"]["uid"])
+
+    def test_fused_trainer_matches_unfused(self):
+        """Training through the wire must produce identical results to the
+        multi-array path."""
+        from monolith_tpu.data.synthetic import SyntheticCTR
+        from monolith_tpu.models.deepfm import DeepFMTask
+        from monolith_tpu.training.trainer import Trainer, TrainerConfig
+
+        def run(fuse):
+            task = DeepFMTask(embedding_dim=8, capacity_per_shard=2048,
+                              hidden=(16,), init_scale=0.0)
+            tr = Trainer(task, TrainerConfig(
+                engine=EngineConfig(num_shards=1, unique_cap=512, new_cap=512),
+                log_every=0, seed=7))
+            if not fuse:
+                # monkeypatch off
+                tr.engine.__class__ = type(
+                    "E", (tr.engine.__class__,),
+                    {"fuse_wire": property(lambda s: False)})
+            data = SyntheticCTR(num_users=60, num_items=40, batch_size=128,
+                                seed=7)
+            it = iter(data)
+            losses = []
+            for _ in range(12):
+                fb, b = next(it)
+                out = tr.train_step(fb, b)
+                losses.append(float(out["loss"]))
+            return losses
+
+        np.testing.assert_allclose(run(True), run(False), rtol=1e-5)
