@@ -242,7 +242,13 @@ class Store {
                       int32_t* out_new_pos = nullptr) {
     std::lock_guard<std::mutex> g(mu_);
     int64_t n_new = 0;
+    constexpr int64_t kPrefetch = 12;  // hide DRAM latency of random probes
     for (int64_t i = 0; i < n; ++i) {
+      if (i + kPrefetch < n) {
+        int64_t pf = fids[i + kPrefetch];
+        if (pf > kTombstone)
+          __builtin_prefetch(&slots_[mix64((uint64_t)pf) & mask_], 0, 1);
+      }
       int64_t fid = fids[i];
       if (fid <= kTombstone) { out_rows[i] = -1; continue; }  // reserved sentinels
       uint64_t pos;
@@ -283,7 +289,13 @@ class Store {
   // Read-only lookup (serving). Missing ids -> -1.
   void Lookup(const int64_t* fids, int64_t n, int32_t* out_rows) const {
     std::lock_guard<std::mutex> g(mu_);
+    constexpr int64_t kPrefetch = 12;
     for (int64_t i = 0; i < n; ++i) {
+      if (i + kPrefetch < n) {
+        int64_t pf = fids[i + kPrefetch];
+        if (pf > kTombstone)
+          __builtin_prefetch(&slots_[mix64((uint64_t)pf) & mask_], 0, 1);
+      }
       uint64_t pos;
       if (fids[i] > kTombstone && Find(fids[i], &pos))
         out_rows[i] = (int32_t)slots_[pos].row;
