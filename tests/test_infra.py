@@ -272,3 +272,65 @@ class TestBatchNormSupport:
         stats2 = jax.device_get(tr2.model_state["batch_stats"])
         np.testing.assert_allclose(jax.tree.leaves(stats2)[0], mean_leaf,
                                    rtol=1e-6)
+
+
+class TestAlertManager:
+    def test_checks_fire_and_emit(self, tmp_path):
+        import json
+        from monolith_tpu.utils.alerts import (AlertManager, FileEmitter,
+                                               SourceLagCheck,
+                                               TrainingProgressCheck)
+
+        class FakeTrainer:
+            step = 5
+
+        t = FakeTrainer()
+        path = str(tmp_path / "alerts.jsonl")
+        mgr = AlertManager(emitter=FileEmitter(path))
+        mgr.add_check(TrainingProgressCheck(t))
+        lag = {"v": 0.0}
+        mgr.add_check(SourceLagCheck(lambda: lag["v"], max_lag=100))
+
+        assert mgr.run_checks_once() == []  # first progress check primes
+        # stalled step + high lag -> two alerts
+        lag["v"] = 500
+        fired = mgr.run_checks_once()
+        assert {a.name for a in fired} == {"training_progress", "source_lag"}
+        # progressing step clears the progress alert
+        t.step = 6
+        lag["v"] = 0
+        assert mgr.run_checks_once() == []
+        lines = [json.loads(l) for l in open(path)]
+        assert len(lines) == 2
+
+    def test_broken_check_does_not_raise(self):
+        from monolith_tpu.utils.alerts import AlertManager
+
+        class Boom:
+            name = "boom"
+
+            def __call__(self):
+                raise RuntimeError("nope")
+
+        mgr = AlertManager(checks=[Boom()])
+        fired = mgr.run_checks_once()
+        assert len(fired) == 1 and "raised" in fired[0].message
+
+    def test_thread_start_stop(self):
+        from monolith_tpu.utils.alerts import AlertManager
+        hits = []
+
+        class C:
+            name = "c"
+
+            def __call__(self):
+                hits.append(1)
+                return "always"
+
+        mgr = AlertManager(checks=[C()], check_interval_sec=0.05,
+                           start_delay_sec=0.0)
+        mgr.start()
+        import time
+        time.sleep(0.3)
+        mgr.stop()
+        assert len(hits) >= 2
