@@ -130,3 +130,71 @@ class MachineInfoHook:
             for k in ("load1", "mem_available_kb"):
                 if k in info:
                     self.client.emit_store(f"machine.{k}", info[k])
+
+
+class TideHook:
+    """Run training only inside a daily time window (ref
+    session_run_hooks.py:144 TideStoppingHook — "tide" preemptible resources
+    available only at certain hours). Outside the window the hook saves a
+    checkpoint (once) and blocks (or raises StopIteration with block=False
+    so the training loop exits cleanly for the reference's stop-and-resume
+    pattern)."""
+
+    def __init__(self, start_hour: int, end_hour: int, start_minute: int = 0,
+                 end_minute: int = 0, block: bool = True,
+                 ckpt_dir: Optional[str] = None, poll_sec: float = 30.0,
+                 clock=time.time):
+        self.start = start_hour * 60 + start_minute
+        self.end = end_hour * 60 + end_minute
+        self.block = block
+        self.ckpt_dir = ckpt_dir
+        self.poll_sec = poll_sec
+        self.clock = clock
+
+    def _in_window(self) -> bool:
+        t = time.gmtime(self.clock())
+        now = t.tm_hour * 60 + t.tm_min
+        if self.start <= self.end:
+            return self.start <= now < self.end
+        return now >= self.start or now < self.end  # window wraps midnight
+
+    def __call__(self, trainer, out) -> None:
+        if self._in_window():
+            return
+        if self.ckpt_dir:
+            from monolith_tpu.training import checkpoint
+            checkpoint.save(trainer, self.ckpt_dir)
+        if not self.block:
+            raise StopIteration("outside tide window")
+        while not self._in_window():
+            time.sleep(self.poll_sec)
+
+
+class SlowStartHook:
+    """Staggered worker start (ref session_run_hooks.py:53
+    CustomGlobalStepWaiterHook): before the first step, wait until the
+    shared global step (read via `step_fn`, e.g. a chief's controller
+    client) reaches `wait_until_step`, or until `max_wait_sec` passes.
+    Typical use: wait_until_step = int(K * log(worker_id + 1))."""
+
+    def __init__(self, wait_until_step: int, step_fn,
+                 max_wait_sec: float = 600.0, poll_sec: float = 0.5):
+        self.wait_until_step = wait_until_step
+        self.step_fn = step_fn
+        self.max_wait_sec = max_wait_sec
+        self.poll_sec = poll_sec
+        self.started = False
+
+    def wait(self) -> None:
+        t0 = time.time()
+        while not self.started:
+            if self.step_fn() >= self.wait_until_step:
+                self.started = True
+            elif time.time() - t0 > self.max_wait_sec:
+                self.started = True
+            else:
+                time.sleep(self.poll_sec)
+
+    def __call__(self, trainer, out) -> None:
+        if not self.started:
+            self.wait()

@@ -234,8 +234,14 @@ class Trainer:
                 break
             out = self.train_step(fid_batch, batch)
             examples += len(next(iter(batch.values())))
+            stop = False
             for h in hooks:
-                h(self, out)
+                try:
+                    h(self, out)
+                except StopIteration:
+                    stop = True  # hook requested a clean exit (e.g. TideHook)
+            if stop:
+                break
             if self.config.log_every and (self.step % self.config.log_every == 0):
                 self._drain_metrics()
                 dt = time.time() - t0

@@ -334,3 +334,48 @@ class TestAlertManager:
         time.sleep(0.3)
         mgr.stop()
         assert len(hits) >= 2
+
+
+class TestTideAndSlowStart:
+    def test_tide_inside_window_noop(self):
+        from monolith_tpu.training.hooks import TideHook
+        # clock pinned to 12:00 UTC; window 10:00-14:00 -> no-op
+        h = TideHook(10, 14, clock=lambda: 12 * 3600)
+        h(None, None)  # must not block or raise
+
+    def test_tide_outside_window_stops_loop(self, tmp_path):
+        from monolith_tpu.training.hooks import TideHook
+        tr = small_trainer()
+        data = SyntheticCTR(num_users=50, num_items=30, batch_size=64, seed=73)
+        # clock pinned to 02:00 UTC; window 10:00-14:00 -> outside
+        h = TideHook(10, 14, block=False, ckpt_dir=str(tmp_path),
+                     clock=lambda: 2 * 3600)
+        res = tr.train(iter(data), steps=10, hooks=[h])
+        assert tr.step == 1  # stopped after first step
+        from monolith_tpu.training import checkpoint
+        assert checkpoint.latest_step(str(tmp_path)) == 1
+
+    def test_tide_window_wraps_midnight(self):
+        from monolith_tpu.training.hooks import TideHook
+        h = TideHook(22, 4, clock=lambda: 23 * 3600)   # 23:00 inside 22->04
+        assert h._in_window()
+        h.clock = lambda: 2 * 3600                      # 02:00 inside
+        assert h._in_window()
+        h.clock = lambda: 12 * 3600                     # 12:00 outside
+        assert not h._in_window()
+
+    def test_slow_start_waits_for_global_step(self):
+        from monolith_tpu.training.hooks import SlowStartHook
+        steps = iter([0, 1, 2, 3, 4, 5])
+        h = SlowStartHook(wait_until_step=3, step_fn=lambda: next(steps),
+                          poll_sec=0.0)
+        h(None, None)
+        assert h.started
+        h(None, None)  # second call is a no-op (already started)
+
+    def test_slow_start_timeout(self):
+        from monolith_tpu.training.hooks import SlowStartHook
+        h = SlowStartHook(wait_until_step=10**9, step_fn=lambda: 0,
+                          max_wait_sec=0.0, poll_sec=0.0)
+        h(None, None)
+        assert h.started
