@@ -6,18 +6,32 @@
 // batch for ONE merged table, emit
 //   - a [num_shards, shard_cap] buffer of unique fids grouped by shard
 //     (shard = mix64(fid) % num_shards), padded with kPad,
-//   - for every input position, an int32 index into that flattened buffer
+//   - for every input position, an index into that flattened buffer
 //     (-1 for padding / dropped-overflow ids),
 //   - per-shard unique counts.
 // The device step then gathers rows per shard, all_to_alls embeddings, and
 // gathers per-position with mode='fill' so -1 indices yield zeros.
 //
 // A Batcher object owns reusable scratch so the hot path is allocation-free.
+// The fused single-shard entry `mt_prepare_wire` runs the WHOLE host prepare
+// (dedup + store map + wire pack) in one pass, writing the final int32 wire
+// buffer directly (rows | new_bit<<30, then int16 index words per feature) —
+// the host-side counterpart of the reference's fused kernels
+// (runtime/ops/hash_table_op.cc fused_lookup, parse_sparse_feature.h).
 
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <vector>
+
+// store.cc's C ABI (linked into the same .so)
+extern "C" void mt_store_map_train_pos(void* s, const int64_t* fids, int64_t n,
+                                       uint32_t ts, int32_t* out_rows,
+                                       int32_t* out_new_rows,
+                                       int64_t* out_new_fids,
+                                       int32_t* out_new_pos, int64_t new_cap,
+                                       int64_t* out_new_count,
+                                       int32_t record_touch);
 
 namespace {
 
@@ -35,78 +49,113 @@ class Batcher {
   explicit Batcher(int64_t expected_unique) {
     scratch_size_ = 1024;
     while (scratch_size_ < (uint64_t)expected_unique * 2) scratch_size_ <<= 1;
-    keys_.assign(scratch_size_, kPadFid);
-    vals_.assign(scratch_size_, -1);
-    stamp_.assign(scratch_size_, 0);
+    slots_.assign(scratch_size_, Slot{kPadFid, -1, 0});
     epoch_ = 0;
   }
 
-  // Returns number of overflowed (dropped) unique ids.
-  int64_t Dedup(const int64_t* values, int64_t n, int32_t num_shards,
-                int64_t shard_cap, int64_t* out_unique, int32_t* out_index,
-                int32_t* out_shard_counts) {
-    // epoch trick: stamping avoids clearing the scratch map every step
+  // Streaming API: Begin() opens an epoch sized for `n_total` ids, then
+  // AddStream() folds each feature's fid stream in, writing per-position
+  // indices (int16 or int32) as it goes. Dedup state is shared across the
+  // streams of one Begin() — the same fid in two features maps to one slot.
+  void Begin(int64_t n_total, int32_t num_shards, int64_t shard_cap,
+             int64_t* out_unique, int32_t* out_shard_counts) {
     ++epoch_;
     if (epoch_ == 0) {  // wrapped: hard reset
-      std::fill(stamp_.begin(), stamp_.end(), 0);
+      for (Slot& s : slots_) s.stamp = 0;
       epoch_ = 1;
     }
-    // ensure scratch is large enough (load factor <= 0.5)
-    if ((uint64_t)n * 2 > scratch_size_) Grow((uint64_t)n * 2);
+    if ((uint64_t)n_total * 2 > scratch_size_) Grow((uint64_t)n_total * 2);
+    num_shards_ = num_shards;
+    shard_cap_ = shard_cap;
+    out_unique_ = out_unique;
+    out_counts_ = out_shard_counts;
+    for (int32_t s = 0; s < num_shards; ++s) out_counts_[s] = 0;
+    std::fill(out_unique, out_unique + (int64_t)num_shards * shard_cap,
+              kPadFid);
+    overflow_ = 0;
+  }
 
-    for (int32_t s = 0; s < num_shards; ++s) out_shard_counts[s] = 0;
-    std::fill(out_unique, out_unique + (int64_t)num_shards * shard_cap, kPadFid);
-
+  template <typename IdxT>
+  void AddStream(const int64_t* values, int64_t n, IdxT* out_index) {
     const uint64_t mask = scratch_size_ - 1;
-    int64_t overflow = 0;
+    constexpr int64_t kPrefetch = 8;  // hide DRAM latency of random probes
     for (int64_t i = 0; i < n; ++i) {
+      if (i + kPrefetch < n) {
+        int64_t pf = values[i + kPrefetch];
+        if (pf != kPadFid)
+          __builtin_prefetch(&slots_[mix64((uint64_t)pf) & mask], 0, 1);
+      }
       int64_t fid = values[i];
-      if (fid == kPadFid) { out_index[i] = -1; continue; }
+      if (fid == kPadFid) { out_index[i] = (IdxT)-1; continue; }
       uint64_t h = mix64((uint64_t)fid);
       uint64_t pos = h & mask;
       for (;;) {
-        if (stamp_[pos] != epoch_) {  // fresh slot this epoch
-          stamp_[pos] = epoch_;
-          keys_[pos] = fid;
-          int32_t shard = (int32_t)(h % (uint64_t)num_shards);
-          int32_t c = out_shard_counts[shard];
-          if (c >= shard_cap) {  // bucket overflow: drop id this step
-            vals_[pos] = -1;
-            ++overflow;
+        Slot& s = slots_[pos];
+        if (s.stamp != epoch_) {  // fresh slot this epoch
+          s.stamp = epoch_;
+          s.key = fid;
+          int32_t shard = (int32_t)(h % (uint64_t)num_shards_);
+          int32_t c = out_counts_[shard];
+          if (c >= shard_cap_) {  // bucket overflow: drop id this step
+            s.val = -1;
+            ++overflow_;
           } else {
-            int32_t idx = shard * (int32_t)shard_cap + c;
-            out_unique[idx] = fid;
-            out_shard_counts[shard] = c + 1;
-            vals_[pos] = idx;
+            int32_t idx = shard * (int32_t)shard_cap_ + c;
+            out_unique_[idx] = fid;
+            out_counts_[shard] = c + 1;
+            s.val = idx;
           }
-          out_index[i] = vals_[pos];
+          out_index[i] = (IdxT)s.val;
           break;
         }
-        if (keys_[pos] == fid) {
-          out_index[i] = vals_[pos];
+        if (s.key == fid) {
+          out_index[i] = (IdxT)s.val;
           break;
         }
         pos = (pos + 1) & mask;
       }
     }
-    return overflow;
+  }
+
+  int64_t overflow() const { return overflow_; }
+
+  // One-shot variant (original API, int32 indices).
+  int64_t Dedup(const int64_t* values, int64_t n, int32_t num_shards,
+                int64_t shard_cap, int64_t* out_unique, int32_t* out_index,
+                int32_t* out_shard_counts) {
+    Begin(n, num_shards, shard_cap, out_unique, out_shard_counts);
+    AddStream<int32_t>(values, n, out_index);
+    return overflow_;
+  }
+
+  std::vector<int64_t>& unique_scratch(int64_t n) {
+    if ((int64_t)unique_scratch_.size() < n) unique_scratch_.resize(n);
+    return unique_scratch_;
   }
 
  private:
+  struct Slot {        // 16 bytes: one probe touches one cache line half
+    int64_t key;
+    int32_t val;
+    uint32_t stamp;
+  };
+
   void Grow(uint64_t need) {
     while (scratch_size_ < need) scratch_size_ <<= 1;
-    keys_.assign(scratch_size_, kPadFid);
-    vals_.assign(scratch_size_, -1);
     // keep epoch_ (>= 1) so cleared zero-stamps read as fresh even when Grow
-    // runs mid-Dedup
-    stamp_.assign(scratch_size_, 0);
+    // runs mid-epoch
+    slots_.assign(scratch_size_, Slot{kPadFid, -1, 0});
   }
 
   uint64_t scratch_size_;
-  uint64_t epoch_;
-  std::vector<int64_t> keys_;
-  std::vector<int32_t> vals_;
-  std::vector<uint64_t> stamp_;
+  uint32_t epoch_;
+  int32_t num_shards_ = 1;
+  int64_t shard_cap_ = 0;
+  int64_t overflow_ = 0;
+  int64_t* out_unique_ = nullptr;
+  int32_t* out_counts_ = nullptr;
+  std::vector<Slot> slots_;
+  std::vector<int64_t> unique_scratch_;
 };
 
 }  // namespace
@@ -131,6 +180,63 @@ int64_t mt_batcher_dedup(void* b, const int64_t* values, int64_t n,
 // Shard-of-fid helper so Python-side tests can cross-check bucketing.
 int32_t mt_shard_of(int64_t fid, int32_t num_shards) {
   return (int32_t)(mix64((uint64_t)fid) % (uint64_t)num_shards);
+}
+
+// Fused single-shard host prepare (engine.prepare_wire): dedup all feature
+// streams, map unique fids through the store (admission + row alloc), and
+// emit the packed wire buffer in one pass:
+//   wire[0:U)            int32 rows; -1 invalid; bit 30 set on new rows
+//   then per stream      ceil(n_i/2) int32 words of int16 indices into the
+//                        unique list (-1 pad), odd tails padded with -1
+// stats out: [overflow, new_count, unique_count, filtered_count]
+// Returns total wire words written.
+int64_t mt_prepare_wire(void* batcher, void* store,
+                        const int64_t* const* streams, const int64_t* sizes,
+                        int32_t n_streams, uint32_t ts, int64_t unique_cap,
+                        int64_t new_cap, int32_t record_touch, int32_t* wire,
+                        int64_t* stats) {
+  Batcher* b = static_cast<Batcher*>(batcher);
+  int64_t n_total = 0;
+  for (int32_t i = 0; i < n_streams; ++i) n_total += sizes[i];
+
+  std::vector<int64_t>& unique = b->unique_scratch(unique_cap);
+  int32_t count = 0;
+  b->Begin(n_total, /*num_shards=*/1, unique_cap, unique.data(), &count);
+
+  int64_t off = unique_cap;  // wire word offset past the rows block
+  for (int32_t i = 0; i < n_streams; ++i) {
+    int16_t* idx16 = reinterpret_cast<int16_t*>(wire + off);
+    b->AddStream<int16_t>(streams[i], sizes[i], idx16);
+    if (sizes[i] & 1) idx16[sizes[i]] = -1;  // pad odd tail
+    off += (sizes[i] + 1) / 2;
+  }
+
+  // Map the unique fids through the store, writing rows straight into the
+  // wire head; stamp bit 30 on newly-admitted positions.
+  std::fill(wire, wire + unique_cap, -1);
+  thread_local std::vector<int32_t> new_rows, new_pos;
+  thread_local std::vector<int64_t> new_fids;
+  if ((int64_t)new_rows.size() < new_cap) {
+    new_rows.resize(new_cap);
+    new_pos.resize(new_cap);
+    new_fids.resize(new_cap);
+  }
+  int64_t n_new = 0;
+  mt_store_map_train_pos(store, unique.data(), count, ts, wire,
+                         new_rows.data(), new_fids.data(), new_pos.data(),
+                         new_cap, &n_new, record_touch);
+  int64_t n_marked = n_new < new_cap ? n_new : new_cap;
+  for (int64_t i = 0; i < n_marked; ++i) wire[new_pos[i]] |= (1 << 30);
+
+  int64_t filtered = 0;
+  for (int64_t i = 0; i < count; ++i)
+    if (wire[i] == -1) ++filtered;
+
+  stats[0] = b->overflow();
+  stats[1] = n_marked;  // admissions marked for init (capped at new_cap)
+  stats[2] = count;
+  stats[3] = filtered;
+  return off;
 }
 
 }  // extern "C"

@@ -253,6 +253,31 @@ class Batcher:
         return unique, index, counts, int(overflow)
 
 
+def prepare_wire(batcher: "Batcher", store: HostStore,
+                 streams, ts: int, unique_cap: int, new_cap: int,
+                 record_touch: bool, wire_out: np.ndarray) -> Tuple[int, int, int, int]:
+    """Fused single-shard host prepare (C++ `mt_prepare_wire`): dedup the
+    feature streams, map unique fids through `store`, and write the packed
+    wire words (rows|new_bit then int16 indices) into `wire_out` in one pass
+    — the per-step replacement for prepare_batch + pack_wire on the
+    fuse_wire path. `streams` is a list of contiguous int64 arrays; wire_out
+    must be a contiguous int32 array of exactly
+    unique_cap + sum(ceil(s.size/2)) words.
+
+    Returns (overflow, new_count, unique_count, filtered_count)."""
+    n = len(streams)
+    ptrs = (ctypes.POINTER(ctypes.c_int64) * n)(
+        *[_ptr(s, ctypes.c_int64) for s in streams])
+    sizes = np.array([s.size for s in streams], dtype=np.int64)
+    stats = np.zeros(4, dtype=np.int64)
+    words = batcher._lib.mt_prepare_wire(
+        batcher._h, store._h, ptrs, _ptr(sizes, ctypes.c_int64), n, ts,
+        unique_cap, new_cap, 1 if record_touch else 0,
+        _ptr(wire_out, ctypes.c_int32), _ptr(stats, ctypes.c_int64))
+    assert words == wire_out.size, (words, wire_out.size)
+    return int(stats[0]), int(stats[1]), int(stats[2]), int(stats[3])
+
+
 class Batcher2D:
     """Two-level dedup for the bucketed all-to-all exchange (ref
     distributed_ps_sync.py:95 per-worker dedup + per-destination buckets):

@@ -152,10 +152,15 @@ class Trainer:
         """Run one training step. fid_batch: {feature: int64 [B, L] pad -1};
         batch: dense-side arrays incl. "label"."""
         ts = int(time.time()) if ts is None else ts
-        inputs, stats = self.engine.prepare_batch(fid_batch, ts=ts)
-        self._maybe_init(inputs, batch)
-        if self.engine.fuse_wire:
-            inputs = {"__wire__": self.engine.pack_wire(inputs)}
+        if self.engine.fuse_wire and self.params is not None:
+            # fused C++ prepare writes the wire buffer directly (PERF.md)
+            wire, stats = self.engine.prepare_wire(fid_batch, ts=ts)
+            inputs = {"__wire__": wire}
+        else:
+            inputs, stats = self.engine.prepare_batch(fid_batch, ts=ts)
+            self._maybe_init(inputs, batch)
+            if self.engine.fuse_wire:
+                inputs = {"__wire__": self.engine.pack_wire(inputs)}
         if self._jit_step is None:
             self._jit_step = self._build_step()
         if self._base_key is None:
@@ -212,10 +217,14 @@ class Trainer:
         for i, (fid_batch, batch) in enumerate(data):
             if max_steps is not None and i >= max_steps:
                 break
-            inputs, _ = self.engine.prepare_batch(fid_batch, ts=0)
-            self._maybe_init(inputs, batch)
-            if self.engine.fuse_wire:
-                inputs = {"__wire__": self.engine.pack_wire(inputs)}
+            if self.engine.fuse_wire and self.params is not None:
+                wire, _ = self.engine.prepare_wire(fid_batch, ts=0)
+                inputs = {"__wire__": wire}
+            else:
+                inputs, _ = self.engine.prepare_batch(fid_batch, ts=0)
+                self._maybe_init(inputs, batch)
+                if self.engine.fuse_wire:
+                    inputs = {"__wire__": self.engine.pack_wire(inputs)}
             batch_j = {k: jnp.asarray(v) for k, v in batch.items()}
             loss, preds, _ = self._jit_eval(self.table_states, self.params,
                                             self.model_state, inputs, batch_j,

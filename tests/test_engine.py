@@ -270,3 +270,75 @@ class TestWireFusion:
             return losses
 
         np.testing.assert_allclose(run(True), run(False), rtol=1e-5)
+
+
+class TestPrepareWire:
+    def _two_table_engine(self, seed=0, **cfg_kw):
+        tables = [
+            TableSpec(name="user", capacity_per_shard=256,
+                      segments=(TableSegment(
+                          dim=4, optimizer=optimizers.SGD(learning_rate=0.5),
+                          initializer=initializers.Constants(1.0)),)),
+            TableSpec(name="item", capacity_per_shard=256,
+                      segments=(TableSegment(
+                          dim=4, optimizer=optimizers.Adagrad(learning_rate=0.1),
+                          initializer=initializers.RandomUniform(0.1)),)),
+        ]
+        features = [
+            FeatureConfig(name="uid", table="user", max_length=3),
+            FeatureConfig(name="uhist", table="user", max_length=5),
+            FeatureConfig(name="iid", table="item", max_length=2),
+        ]
+        return EmbeddingEngine(
+            tables, features,
+            EngineConfig(num_shards=1, unique_cap=64, new_cap=32, **cfg_kw),
+            seed=seed)
+
+    def _batch(self, rng, B):
+        return {
+            "uid": rng.integers(-1, 40, size=(B, 3)).astype(np.int64),
+            "uhist": rng.integers(-1, 40, size=(B, 5)).astype(np.int64),
+            "iid": rng.integers(-1, 25, size=(B, 2)).astype(np.int64),
+        }
+
+    def test_matches_pack_wire_bytes(self):
+        """prepare_wire must produce the exact bytes of
+        prepare_batch + pack_wire on an identically-seeded engine."""
+        e1 = self._two_table_engine(seed=3)
+        e2 = self._two_table_engine(seed=3)
+        rng1, rng2 = np.random.default_rng(9), np.random.default_rng(9)
+        for step in range(5):
+            fb1, fb2 = self._batch(rng1, 16), self._batch(rng2, 16)
+            inputs, s1 = e1.prepare_batch(fb1, ts=step)
+            ref = e1.pack_wire(inputs)
+            wire, s2 = e2.prepare_wire(fb2, ts=step)
+            np.testing.assert_array_equal(wire, ref)
+            for k in ("overflow", "new", "unique"):
+                assert s1[k] == s2[k], (step, k, s1[k], s2[k])
+
+    def test_matches_with_admission_filter_and_touch(self):
+        tables = [TableSpec(
+            name="user", capacity_per_shard=256,
+            segments=(TableSegment(
+                dim=4, optimizer=optimizers.SGD(learning_rate=0.5),
+                initializer=initializers.Constants(1.0)),),
+            admission=AdmissionConfig(kind="sliding", threshold=2))]
+        features = [FeatureConfig(name="uid", table="user", max_length=3)]
+
+        def mk():
+            return EmbeddingEngine(
+                tables, features,
+                EngineConfig(num_shards=1, unique_cap=64, new_cap=32,
+                             record_touch=True), seed=5)
+        e1, e2 = mk(), mk()
+        rng1, rng2 = np.random.default_rng(4), np.random.default_rng(4)
+        for step in range(6):
+            fb1 = {"uid": rng1.integers(-1, 30, size=(8, 3)).astype(np.int64)}
+            fb2 = {"uid": rng2.integers(-1, 30, size=(8, 3)).astype(np.int64)}
+            inputs, _ = e1.prepare_batch(fb1, ts=step)
+            ref = e1.pack_wire(inputs)
+            wire, _ = e2.prepare_wire(fb2, ts=step)
+            np.testing.assert_array_equal(wire, ref)
+        t1 = e1.stores["user"][0].drain_touched()
+        t2 = e2.stores["user"][0].drain_touched()
+        np.testing.assert_array_equal(np.sort(t1), np.sort(t2))
