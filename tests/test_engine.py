@@ -342,3 +342,36 @@ class TestPrepareWire:
         t1 = e1.stores["user"][0].drain_touched()
         t2 = e2.stores["user"][0].drain_touched()
         np.testing.assert_array_equal(np.sort(t1), np.sort(t2))
+
+
+class TestBlockDispatch:
+    def test_block_matches_sequential(self):
+        """steps_per_dispatch=4 must produce identical training results to
+        sequential single-step dispatches."""
+        from monolith_tpu.data.synthetic import SyntheticCTR
+        from monolith_tpu.models.deepfm import DeepFMTask
+        from monolith_tpu.training.trainer import Trainer, TrainerConfig
+
+        def run(block):
+            task = DeepFMTask(embedding_dim=8, capacity_per_shard=2048,
+                              hidden=(16,), init_scale=0.0)
+            tr = Trainer(task, TrainerConfig(
+                engine=EngineConfig(num_shards=1, unique_cap=512, new_cap=512),
+                log_every=0, seed=7,
+                steps_per_dispatch=4 if block else 1))
+            data = SyntheticCTR(num_users=60, num_items=40, batch_size=128,
+                                seed=7)
+            res = tr.train(iter(data), steps=13)  # 1 init + 4+4+4 blocks
+            return res, tr
+
+        r1, t1 = run(True)
+        r2, t2 = run(False)
+        assert t1.step == t2.step == 13
+        np.testing.assert_allclose(r1["loss"], r2["loss"], rtol=1e-6)
+        np.testing.assert_allclose(r1["auc"], r2["auc"], rtol=1e-6)
+        for tname in t1.engine.tables:
+            jax.tree.map(
+                lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6),
+                t1.table_states[tname], t2.table_states[tname])
+        jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6),
+                     t1.params, t2.params)
