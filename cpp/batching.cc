@@ -64,7 +64,12 @@ class Batcher {
       for (Slot& s : slots_) s.stamp = 0;
       epoch_ = 1;
     }
-    if ((uint64_t)n_total * 2 > scratch_size_) Grow((uint64_t)n_total * 2);
+    // Size for UNIQUE ids, not stream length: the scratch grows lazily by
+    // live count (see AddStream), keeping the working set L2-resident when
+    // the stream is dominated by repeats. shard_cap bounds admitted uniques;
+    // dropped-overflow ids still occupy slots, so only a lower bound.
+    live_ = 0;
+    (void)n_total;
     num_shards_ = num_shards;
     shard_cap_ = shard_cap;
     out_unique_ = out_unique;
@@ -77,9 +82,11 @@ class Batcher {
 
   template <typename IdxT>
   void AddStream(const int64_t* values, int64_t n, IdxT* out_index) {
-    const uint64_t mask = scratch_size_ - 1;
     constexpr int64_t kPrefetch = 8;  // hide DRAM latency of random probes
     for (int64_t i = 0; i < n; ++i) {
+      // grow at 50% load, preserving this epoch's live entries
+      if ((live_ + 1) * 2 > (int64_t)scratch_size_) Rehash(scratch_size_ * 2);
+      const uint64_t mask = scratch_size_ - 1;
       if (i + kPrefetch < n) {
         int64_t pf = values[i + kPrefetch];
         if (pf != kPadFid)
@@ -94,6 +101,7 @@ class Batcher {
         if (s.stamp != epoch_) {  // fresh slot this epoch
           s.stamp = epoch_;
           s.key = fid;
+          ++live_;
           int32_t shard = (int32_t)(h % (uint64_t)num_shards_);
           int32_t c = out_counts_[shard];
           if (c >= shard_cap_) {  // bucket overflow: drop id this step
@@ -140,17 +148,28 @@ class Batcher {
     uint32_t stamp;
   };
 
-  void Grow(uint64_t need) {
-    while (scratch_size_ < need) scratch_size_ <<= 1;
-    // keep epoch_ (>= 1) so cleared zero-stamps read as fresh even when Grow
-    // runs mid-epoch
+  // Grow mid-epoch, rehashing the current epoch's live entries (older
+  // epochs' slots are garbage and dropped; zero-stamps read as stale since
+  // epoch_ >= 1).
+  void Rehash(uint64_t new_size) {
+    std::vector<Slot> old;
+    old.swap(slots_);
+    scratch_size_ = new_size;
     slots_.assign(scratch_size_, Slot{kPadFid, -1, 0});
+    const uint64_t mask = scratch_size_ - 1;
+    for (const Slot& s : old) {
+      if (s.stamp != epoch_) continue;
+      uint64_t pos = mix64((uint64_t)s.key) & mask;
+      while (slots_[pos].stamp == epoch_) pos = (pos + 1) & mask;
+      slots_[pos] = s;
+    }
   }
 
   uint64_t scratch_size_;
   uint32_t epoch_;
   int32_t num_shards_ = 1;
   int64_t shard_cap_ = 0;
+  int64_t live_ = 0;
   int64_t overflow_ = 0;
   int64_t* out_unique_ = nullptr;
   int32_t* out_counts_ = nullptr;

@@ -606,15 +606,20 @@ class EmbeddingEngine:
         scatter per table (ref fused_apply_gradient)."""
         S, U = self.config.num_shards, self.config.unique_cap
         out = dict(states)
-        for tname, tin in inputs.items():
+        for i, (tname, tin) in enumerate(sorted(inputs.items())):
             spec = self.tables[tname]
             g = unique_grads[tname].reshape(S, U, spec.dim)
             new_p = jax.vmap(
                 lambda p, gg: table_lib.optimize_packed(spec, p, gg, step)
             )(prows[tname], g)
+            # per-shard keys for stochastic bf16 write-back
+            tkey = jax.random.fold_in(jax.random.fold_in(
+                jax.random.PRNGKey(1), step), i)
+            skeys = jax.random.split(tkey, S)
             out[tname] = jax.vmap(
-                lambda st, rows, v: table_lib.scatter_packed(spec, st, rows, v)
-            )(states[tname], jnp.asarray(tin["rows"]), new_p)
+                lambda st, rows, v, k: table_lib.scatter_packed(
+                    spec, st, rows, v, key=k)
+            )(states[tname], jnp.asarray(tin["rows"]), new_p, skeys)
         return out
 
     def lookup_unique(self, states: Dict, inputs: Dict) -> Dict[str, jnp.ndarray]:

@@ -22,9 +22,17 @@ updates via XLA gather/scatter OOB semantics (mode='fill'/'drop'). NOTE:
 JAX wraps negative indices BEFORE applying mode, so -1 sentinels are
 remapped on device to `capacity` (a true OOB index) by `_sanitize` first.
 
-bf16 tables (spec.dtype == bfloat16, used with stochastic rounding) keep
-the legacy structure-of-arrays state {"params": [cap, D], "slots": [...]}
-so optimizer accumulators stay f32.
+bf16 tables (spec.dtype == bfloat16) store the SAME packed row in a bf16
+pool — physically HALF the HBM bytes per row (a [cap, <=128] f32 pool is
+tiled to 512 B/row on TPU regardless of logical width; bf16 is 256 B/row),
+i.e. 2x ids per chip and half the gather/scatter traffic. All row math
+(init/optimize) runs in f32 on the gathered rows; the write-back rounds
+stochastically when spec.stochastic_rounding is set (Pallas TPU PRNG
+kernel, ops/rounding.py) so sub-ulp updates accumulate in expectation —
+the packed analogue of ref stochastic_rounding.cc. NOTE optimizer
+accumulators are 16-bit too in this mode (like ref QuantizedEntryAccessor,
+quantized_entry_accessor.h); force EngineConfig(packed="off") to get the
+structure-of-arrays layout with f32 accumulators instead.
 """
 
 from __future__ import annotations
@@ -47,7 +55,7 @@ _LANES = 128
 
 
 def is_packed(spec: TableSpec) -> bool:
-    return spec.dtype == jnp.float32
+    return spec.dtype in (jnp.float32, jnp.bfloat16)
 
 
 @functools.lru_cache(maxsize=None)
@@ -88,7 +96,7 @@ def create_state(spec: TableSpec, packed: bool = None) -> TableState:
         packed = is_packed(spec)
     if packed:
         _, padded, slots = _layout(spec)
-        data = jnp.zeros((cap, padded), dtype=jnp.float32)
+        data = jnp.zeros((cap, padded), dtype=spec.dtype)
         # slot columns start at their init value
         for (_, _name), (off, k, init_value) in slots.items():
             if init_value != 0.0:
@@ -125,17 +133,31 @@ def init_packed(spec: TableSpec, key: jax.Array, n: int) -> jnp.ndarray:
 
 def gather_packed(spec: TableSpec, state: TableState,
                   rows: jnp.ndarray) -> jnp.ndarray:
-    """Gather full packed rows [n, P]; -1 rows read zeros."""
+    """Gather full packed rows [n, P] as f32; -1 rows read zeros. bf16
+    pools upcast after the gather so all row math runs in f32."""
     rows = _sanitize(rows, spec.capacity_per_shard)
-    return state["data"].at[rows].get(mode="fill", fill_value=0)
+    out = state["data"].at[rows].get(mode="fill", fill_value=0)
+    return out.astype(jnp.float32)
 
 
 def scatter_packed(spec: TableSpec, state: TableState, rows: jnp.ndarray,
-                   values: jnp.ndarray) -> TableState:
-    """Write full packed rows; -1 rows dropped. THE one scatter per step."""
+                   values: jnp.ndarray, key=None) -> TableState:
+    """Write full packed rows; -1 rows dropped. THE one scatter per step.
+    f32 values are narrowed to a bf16 pool stochastically when
+    spec.stochastic_rounding is set and a PRNG `key` is given (so sub-ulp
+    optimizer updates accumulate in expectation); round-to-nearest
+    otherwise (init/assign/restore of values that were never wider)."""
     rows = _sanitize(rows, spec.capacity_per_shard)
-    return {"data": state["data"].at[rows].set(values, mode="drop",
-                                               unique_indices=True)}
+    pool = state["data"]
+    if pool.dtype != values.dtype:
+        if spec.stochastic_rounding and key is not None and \
+                pool.dtype == jnp.bfloat16:
+            from monolith_tpu.ops.rounding import stochastic_round_bf16
+            values = stochastic_round_bf16(values, key)
+        else:
+            values = values.astype(pool.dtype)
+    return {"data": pool.at[rows].set(values, mode="drop",
+                                      unique_indices=True)}
 
 
 def params_of(spec: TableSpec, packed: jnp.ndarray) -> jnp.ndarray:
@@ -217,8 +239,10 @@ def apply_gradients(spec: TableSpec, state: TableState, rows: jnp.ndarray,
     unique; -1 entries drop. `grads` [m, dim] are summed per unique row."""
     if "data" in state:
         packed = gather_packed(spec, state, rows)
+        key = jax.random.fold_in(jax.random.PRNGKey(0), step)
         return scatter_packed(spec, state, rows,
-                              optimize_packed(spec, packed, grads, step))
+                              optimize_packed(spec, packed, grads, step),
+                              key=key)
     rows = _sanitize(rows, spec.capacity_per_shard)
     p = state["params"].at[rows].get(mode="fill", fill_value=0).astype(jnp.float32)
     new_p_pieces = []
@@ -363,7 +387,7 @@ def state_from_np(spec: TableSpec, pools: np.ndarray,
                     data[:, :, off:off + k] = slot_stacks[key]
                 else:
                     data[:, :, off:off + k] = init_value
-        return {"data": jnp.asarray(data)}
+        return {"data": jnp.asarray(data).astype(spec.dtype)}
     state = {"params": jnp.asarray(pools).astype(spec.dtype), "slots": []}
     for i, seg in enumerate(spec.segments):
         d = {}

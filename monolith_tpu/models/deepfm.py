@@ -64,6 +64,10 @@ class DeepFMTask(RecTask):
     admission_threshold: int = 1
     ttl_seconds: int = 0
     hidden: Sequence[int] = (256, 128, 64)
+    # bf16 halves HBM bytes/row (2x ids per chip); pair with
+    # stochastic_rounding so sub-ulp updates accumulate (PERF.md)
+    table_dtype: jnp.dtype = jnp.float32
+    stochastic_rounding: bool = False
 
     def tables(self):
         segs = (
@@ -81,7 +85,9 @@ class DeepFMTask(RecTask):
                      if self.admission_threshold > 1 else AdmissionConfig())
         return [TableSpec(name="sparse", capacity_per_shard=self.capacity_per_shard,
                           segments=segs, admission=admission,
-                          eviction=EvictionConfig(ttl_seconds=self.ttl_seconds))]
+                          eviction=EvictionConfig(ttl_seconds=self.ttl_seconds),
+                          dtype=self.table_dtype,
+                          stochastic_rounding=self.stochastic_rounding)]
 
     def features(self):
         return [

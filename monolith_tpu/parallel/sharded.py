@@ -163,7 +163,7 @@ class ShardedTrainer(Trainer):
             # sparse: reduce-scatter grads back to owning shards (bwd "alltoall");
             # divide by n to match global-mean loss semantics
             out_states = {}
-            for tname, tin in inputs.items():
+            for ti, (tname, tin) in enumerate(sorted(inputs.items())):
                 spec = specs[tname]
                 g_all = gemb[tname].reshape(n, U, spec.dim)
                 g_local = jax.lax.psum_scatter(g_all, ax, scatter_dimension=0,
@@ -171,8 +171,13 @@ class ShardedTrainer(Trainer):
                 if engine.packed:
                     new_p = table_lib.optimize_packed(spec, prows[tname],
                                                       g_local, stepno)
+                    # per-(step, table, shard) key for stochastic bf16 store
+                    skey = jax.random.fold_in(jax.random.fold_in(
+                        jax.random.fold_in(jax.random.PRNGKey(1), stepno), ti),
+                        jax.lax.axis_index(ax))
                     st = table_lib.scatter_packed(spec, new_states[tname],
-                                                  tin["rows"][0], new_p)
+                                                  tin["rows"][0], new_p,
+                                                  key=skey)
                 else:
                     st = table_lib.apply_gradients(spec, new_states[tname],
                                                    tin["rows"][0], g_local,
@@ -278,7 +283,7 @@ class ShardedTrainer(Trainer):
             params = optax.apply_updates(params, updates)
 
             out_states = {}
-            for tname, tin in inputs.items():
+            for ti, (tname, tin) in enumerate(sorted(inputs.items())):
                 spec = specs[tname]
                 # gu already holds the summed grads per local unique row
                 # (reverse a2a + scatter-add generated by autodiff); divide by
@@ -286,8 +291,13 @@ class ShardedTrainer(Trainer):
                 if engine.packed:
                     new_p = table_lib.optimize_packed(spec, prows[tname],
                                                       gu[tname] / n, stepno)
+                    # per-(step, table, shard) key for stochastic bf16 store
+                    skey = jax.random.fold_in(jax.random.fold_in(
+                        jax.random.fold_in(jax.random.PRNGKey(1), stepno), ti),
+                        jax.lax.axis_index(ax))
                     st = table_lib.scatter_packed(spec, new_states[tname],
-                                                  tin["rows"][0], new_p)
+                                                  tin["rows"][0], new_p,
+                                                  key=skey)
                 else:
                     st = table_lib.apply_gradients(spec, new_states[tname],
                                                    tin["rows"][0],

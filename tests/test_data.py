@@ -320,3 +320,33 @@ feature_name=fc_a-fc_b slot=201 method=Combine depend=a,b args=x, y
         assert cfgs["clicks"].max_length == 20
         assert cfgs["uid"].combiner == "sum"
         assert cfgs["uid"].table == "t"
+
+
+def test_batcher_rehash_mid_stream():
+    """Dedup scratch grows lazily by LIVE unique count (mid-epoch rehash);
+    correctness must hold when one stream's uniques exceed the initial
+    scratch capacity several times over."""
+    import numpy as np
+    from monolith_tpu.embedding.host_store import Batcher
+    b = Batcher(expected_unique=64)  # tiny initial scratch (128 slots)
+    rng = np.random.default_rng(0)
+    vals = rng.integers(0, 5000, size=20000).astype(np.int64)
+    vals[rng.random(20000) < 0.05] = -1  # sprinkle padding
+    unique, index, counts, overflow = b.dedup(vals, num_shards=1,
+                                              shard_cap=8192)
+    c = int(counts[0])
+    assert c == len(set(int(v) for v in vals if v != -1))
+    assert overflow == 0
+    # every index must point at its own fid
+    flat_u = unique.ravel()
+    for i in range(0, 20000, 37):
+        if vals[i] == -1:
+            assert index[i] == -1
+        else:
+            assert flat_u[index[i]] == vals[i]
+    # second epoch after growth still correct
+    unique2, index2, counts2, _ = b.dedup(vals[:500], 1, 8192)
+    u2 = unique2.ravel()
+    for i in range(0, 500, 11):
+        if vals[i] != -1:
+            assert u2[index2[i]] == vals[i]

@@ -374,3 +374,79 @@ class TestRetrievers:
         expect = np.asarray(seg0.retriever.retrieve(
             jnp.asarray(raw[:, :seg0.dim]), tr.step))
         np.testing.assert_allclose(z["seg0:data"], expect, rtol=1e-5)
+
+
+class TestBf16PackedPool:
+    """bf16 packed rows: same one-gather/one-scatter step, half the HBM
+    bytes per row (pool dtype bf16), stochastic-rounded write-back."""
+
+    def test_state_is_bf16_and_packed(self):
+        spec = TableSpec("t", 64, (seg(lr=1.0),), dtype=jnp.bfloat16,
+                         stochastic_rounding=True)
+        st = table.create_state(spec)
+        assert "data" in st and st["data"].dtype == jnp.bfloat16
+
+    def test_sr_accumulates_through_packed_path(self):
+        spec = TableSpec("t", 64, (seg(lr=1.0),), dtype=jnp.bfloat16,
+                         stochastic_rounding=True)
+        st = table.create_state(spec)
+        rows = jnp.array([0], dtype=jnp.int32)
+        st = table.init_rows(spec, st, rows, jax.random.PRNGKey(0))
+        st = table.assign_rows(spec, st, rows, jnp.ones((1, 4)))
+        tiny = 2.0 ** -10
+        for i in range(200):
+            st = table.apply_gradients(spec, st, rows,
+                                       jnp.full((1, 4), tiny), jnp.int32(i))
+        val = float(np.asarray(table.lookup(spec, st, rows)).mean())
+        assert val < 0.95, f"SR failed to accumulate in packed path: {val}"
+
+    def test_engine_fused_step_trains_bf16(self):
+        from monolith_tpu.data.synthetic import SyntheticCTR
+        from monolith_tpu.embedding.engine import EngineConfig
+        from monolith_tpu.models.deepfm import DeepFMTask
+        from monolith_tpu.training.trainer import Trainer, TrainerConfig
+
+        task = DeepFMTask(embedding_dim=8, capacity_per_shard=8192,
+                          hidden=(32, 16), table_dtype=jnp.bfloat16,
+                          stochastic_rounding=True)
+        tr = Trainer(task, TrainerConfig(
+            engine=EngineConfig(num_shards=1, unique_cap=1024, new_cap=1024),
+            log_every=0, seed=3))
+        assert tr.engine.packed and tr.engine.fuse_wire
+        data = SyntheticCTR(num_users=100, num_items=60, batch_size=512,
+                            seed=3)
+        tr.train(iter(data), steps=120)
+        for st in tr.table_states.values():
+            assert st["data"].dtype == jnp.bfloat16
+        # eval on the SAME generator (same latent preference vectors)
+        ev = tr.evaluate(iter(data), max_steps=10)
+        assert ev["auc"] > 0.58, ev
+
+    def test_checkpoint_roundtrip_bf16(self, tmp_path):
+        from monolith_tpu.data.synthetic import SyntheticCTR
+        from monolith_tpu.embedding.engine import EngineConfig
+        from monolith_tpu.models.deepfm import DeepFMTask
+        from monolith_tpu.training.trainer import Trainer, TrainerConfig
+        from monolith_tpu.training import checkpoint
+
+        def mk():
+            task = DeepFMTask(embedding_dim=8, capacity_per_shard=2048,
+                              hidden=(16,), table_dtype=jnp.bfloat16,
+                              stochastic_rounding=True)
+            return Trainer(task, TrainerConfig(
+                engine=EngineConfig(num_shards=1, unique_cap=512,
+                                    new_cap=512), log_every=0, seed=5))
+        tr = mk()
+        data = SyntheticCTR(num_users=50, num_items=30, batch_size=64, seed=5)
+        tr.train(iter(data), steps=5)
+        checkpoint.save(tr, str(tmp_path))
+        tr2 = mk()
+        # dense restore needs initialized params: run one step first
+        data2 = SyntheticCTR(num_users=50, num_items=30, batch_size=64, seed=9)
+        tr2.train(iter(data2), steps=1)
+        checkpoint.restore(tr2, str(tmp_path))
+        for tname in tr.engine.tables:
+            a = np.asarray(tr.table_states[tname]["data"], np.float32)
+            b = np.asarray(tr2.table_states[tname]["data"], np.float32)
+            np.testing.assert_allclose(a, b, atol=0)
+        assert tr2.table_states[tname]["data"].dtype == jnp.bfloat16
