@@ -25,6 +25,8 @@ def main(argv=None):
     p.add_argument("--model_dir", type=str, default="")
     p.add_argument("--realtime", action="store_true",
                    help="also run the streaming+serving sync demo")
+    p.add_argument("--steps_per_dispatch", type=int, default=1,
+                   help="K steps per device dispatch (bit-identical scan)")
     args = p.parse_args(argv)
 
     from monolith_tpu.data.synthetic import SyntheticCTR
@@ -40,7 +42,8 @@ def main(argv=None):
     est = Estimator(task, RunnerConfig(
         model_dir=model_dir, num_shards=args.num_shards,
         log_every=max(args.steps // 10, 1),
-        enable_realtime_training=args.realtime))
+        enable_realtime_training=args.realtime,
+        steps_per_dispatch=args.steps_per_dispatch))
     result = est.train(iter(data), steps=args.steps)
     print(f"train: auc={result['auc']:.4f} loss={result['loss']:.4f} "
           f"ex/s={result['examples_per_sec']:.0f}")

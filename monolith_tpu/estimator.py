@@ -32,6 +32,10 @@ class RunnerConfig:
     save_checkpoints_steps: int = 0
     enable_realtime_training: bool = False
     record_touch: bool = False
+    # K steps per device dispatch (lax.scan over stacked step wires);
+    # bit-identical to sequential steps — the TPU-native software pipeline
+    # (ref enable_pipelined_fwda2a/bwda2a, cpu_training.py:471-489)
+    steps_per_dispatch: int = 1
 
 
 class Estimator:
@@ -45,7 +49,8 @@ class Estimator:
                                 record_touch=(config.record_touch
                                               or config.enable_realtime_training)),
             clip_norm=config.clip_norm, seed=config.seed,
-            log_every=config.log_every)
+            log_every=config.log_every,
+            steps_per_dispatch=config.steps_per_dispatch)
         if config.num_shards > 1:
             from monolith_tpu.parallel import ShardedTrainer, make_mesh
             self.trainer = ShardedTrainer(task, tc, make_mesh(config.num_shards))

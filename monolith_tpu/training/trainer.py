@@ -78,8 +78,17 @@ class Trainer:
         if self.params is not None:
             return
         key = jax.random.PRNGKey(self.config.seed)
-        pooled, _ = self.engine.embed(self.table_states, inputs)
-        variables = self.module.init(key, pooled, batch, training=True)
+
+        # ONE jitted program for the whole init: with table_states sharded
+        # over N devices, running this eagerly compiles a separate tiny
+        # multi-device program (with collectives) per op — on an
+        # oversubscribed host a half-joined collective rendezvous can then
+        # time out against the next op's compile and abort the process.
+        def init_fn(table_states, inputs, batch):
+            pooled, _ = self.engine.embed(table_states, inputs)
+            return self.module.init(key, pooled, batch, training=True)
+
+        variables = jax.jit(init_fn)(self.table_states, inputs, batch)
         variables = dict(variables)
         self.params = variables.pop("params")
         self.model_state = variables  # e.g. {"batch_stats": ...}

@@ -19,3 +19,25 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _drain_devices():
+    """Block on all pending async work at each test boundary.
+
+    With 8 virtual devices multiplexed on few (here: one) host cores, a
+    collective program left half-executed by a test that never synced can
+    deadlock against the next test's compile/execute load: XLA's CPU
+    rendezvous aborts the whole process after 40 s ("Expected 8 threads to
+    join... only 5 arrived"). A trivial device_put per device queues behind
+    all pending work (per-device FIFO), so blocking on them drains the
+    machine before the next test starts."""
+    yield
+    try:
+        for d in jax.devices():
+            jax.device_put(0, d).block_until_ready()
+    except Exception:
+        pass
