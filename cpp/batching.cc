@@ -83,10 +83,8 @@ class Batcher {
   template <typename IdxT>
   void AddStream(const int64_t* values, int64_t n, IdxT* out_index) {
     constexpr int64_t kPrefetch = 8;  // hide DRAM latency of random probes
+    uint64_t mask = scratch_size_ - 1;
     for (int64_t i = 0; i < n; ++i) {
-      // grow at 50% load, preserving this epoch's live entries
-      if ((live_ + 1) * 2 > (int64_t)scratch_size_) Rehash(scratch_size_ * 2);
-      const uint64_t mask = scratch_size_ - 1;
       if (i + kPrefetch < n) {
         int64_t pf = values[i + kPrefetch];
         if (pf != kPadFid)
@@ -99,6 +97,14 @@ class Batcher {
       for (;;) {
         Slot& s = slots_[pos];
         if (s.stamp != epoch_) {  // fresh slot this epoch
+          // grow at 50% LIVE load (only checked on insert), preserving this
+          // epoch's entries via rehash; then re-probe this fid
+          if ((live_ + 1) * 2 > (int64_t)scratch_size_) {
+            Rehash(scratch_size_ * 2);
+            mask = scratch_size_ - 1;
+            pos = h & mask;
+            continue;
+          }
           s.stamp = epoch_;
           s.key = fid;
           ++live_;
