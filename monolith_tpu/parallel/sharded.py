@@ -82,6 +82,8 @@ class ShardedTrainer(Trainer):
         shard = NamedSharding(mesh, P(self.axis))
         self.table_states = jax.tree.map(
             lambda x: jax.device_put(x, shard), self.table_states)
+        self._local_step_raw = None
+        self._sharded_block_K = None
 
     # -- sharding specs ------------------------------------------------
 
@@ -187,20 +189,111 @@ class ShardedTrainer(Trainer):
             preds = task.predictions(out)
             return out_states, params, new_ms, opt_state, loss, preds, aux
 
-        state_specs = jax.tree.map(lambda _: P(ax), self.table_states,
-                                   is_leaf=lambda x: hasattr(x, "shape"))
-        in_specs = (state_specs, P(), P(), P(), self._input_specs_pytree(),
-                    P(ax), P(), P())
-        out_specs = (state_specs, P(), P(), P(), P(), P(ax), P())
-
-        fn = jax.shard_map(local_step, mesh=mesh, in_specs=in_specs,
-                           out_specs=out_specs, check_vma=False)
-        return jax.jit(fn, donate_argnums=(0, 1, 2, 3))
+        self._local_step_raw = local_step
+        return self._wrap_local_step(local_step)
 
     def _input_specs_pytree(self):
         ax = self.axis
         return jax.tree.map(lambda _: P(ax), self._input_template,
                             is_leaf=lambda x: hasattr(x, "shape"))
+
+    def _state_specs(self):
+        ax = self.axis
+        return jax.tree.map(lambda _: P(ax), self.table_states,
+                            is_leaf=lambda x: hasattr(x, "shape"))
+
+    def _wrap_local_step(self, local_step):
+        state_specs = self._state_specs()
+        ax = self.axis
+        in_specs = (state_specs, P(), P(), P(), self._input_specs_pytree(),
+                    P(ax), P(), P())
+        out_specs = (state_specs, P(), P(), P(), P(), P(ax), P())
+        fn = jax.shard_map(local_step, mesh=self.mesh, in_specs=in_specs,
+                           out_specs=out_specs, check_vma=False)
+        return jax.jit(fn, donate_argnums=(0, 1, 2, 3))
+
+    def _build_step_block_sharded(self, K):
+        """K sharded steps per dispatch: lax.scan of the per-device step over
+        K stacked input/batch pytrees inside ONE shard_map program — all
+        fwd/bwd collectives for the K steps compile into one executable.
+        Bit-identical to K sequential dispatches (host id->row mapping never
+        depends on device values); the per-dispatch overhead and K-1 jit
+        boundaries are eliminated. TPU-native form of the reference's
+        pipelined sync training (ref prefetch_queue.py:291,
+        distributed_ps_sync.py:199,270,341,485)."""
+        if self._local_step_raw is None:
+            if self._jit_step is None:
+                self._jit_step = self._build_step()
+        local_step = self._local_step_raw
+        ax = self.axis
+
+        def local_block(table_states, params, model_state, opt_state,
+                        inputs_k, batch_k, base_key, step0):
+            def body(carry, xs):
+                ts_, p_, ms_, os_, i = carry
+                inp, bat = xs
+                ts_, p_, ms_, os_, loss, preds, aux = local_step(
+                    ts_, p_, ms_, os_, inp, bat, base_key, step0 + i)
+                return (ts_, p_, ms_, os_, i + jnp.int32(1)), (loss, preds,
+                                                               aux)
+            (ts_, p_, ms_, os_, _), (losses, preds, auxes) = jax.lax.scan(
+                body, (table_states, params, model_state, opt_state,
+                       jnp.int32(0)), (inputs_k, batch_k))
+            return ts_, p_, ms_, os_, losses, preds, auxes
+
+        state_specs = self._state_specs()
+        stacked = lambda tmpl: jax.tree.map(  # noqa: E731
+            lambda _: P(None, ax), tmpl,
+            is_leaf=lambda x: hasattr(x, "shape"))
+        in_specs = (state_specs, P(), P(), P(),
+                    stacked(self._input_template), P(None, ax), P(), P())
+        out_specs = (state_specs, P(), P(), P(), P(), P(None, ax), P())
+        fn = jax.shard_map(local_block, mesh=self.mesh, in_specs=in_specs,
+                           out_specs=out_specs, check_vma=False)
+        return jax.jit(fn, donate_argnums=(0, 1, 2, 3))
+
+    def _block_capable(self) -> bool:
+        return True
+
+    def _block_eligible(self, batch) -> bool:
+        return True  # no wire-layout constraint in sharded mode
+
+    def train_step_block(self, pairs, ts: Optional[int] = None):
+        """Run len(pairs) sharded steps in ONE dispatch (see
+        _build_step_block_sharded)."""
+        ts = int(time.time()) if ts is None else ts
+        if self._base_key is None:
+            self._base_key = jax.random.PRNGKey(self.config.seed)
+        assert self.params is not None, "run one train_step first to init"
+        K = len(pairs)
+        a2a = self.config.engine.exchange == "a2a"
+        inputs_list, stats = [], []
+        for fb, b in pairs:
+            if a2a:
+                inputs, st = self.engine.prepare_batch_a2a(fb, ts=ts)
+            else:
+                inputs, st = self.engine.prepare_batch(fb, ts=ts)
+            inputs_list.append(inputs)
+            stats.append(st)
+        self._input_template = inputs_list[0]
+        inputs_k = jax.tree.map(lambda *xs: np.stack(xs), *inputs_list)
+        batch_k = {k: np.stack([b[k] for _, b in pairs])
+                   for k in pairs[0][1]}
+        if self._sharded_block_K != K:
+            self._jit_step_block = self._build_step_block_sharded(K)
+            self._sharded_block_K = K
+        (self.table_states, self.params, self.model_state, self.opt_state,
+         losses, preds, auxes) = self._jit_step_block(
+            self.table_states, self.params, self.model_state, self.opt_state,
+            inputs_k, batch_k, self._base_key, np.int32(self.step))
+        self.step += K
+        if self.config.metrics_enabled and "label" in pairs[0][1]:
+            labels = np.stack([b["label"] for _, b in pairs])
+            self._pending_metrics.append((losses, preds, labels))
+            if len(self._pending_metrics) >= self.config.metrics_every:
+                self._drain_metrics()
+        return {"loss": losses, "preds": preds, "stats": stats,
+                "aux": auxes}
 
     def _build_step_a2a(self):
         """Bucketed all-to-all exchange (ref distributed_ps_sync.py:95):
@@ -307,14 +400,8 @@ class ShardedTrainer(Trainer):
             preds = task.predictions(out)
             return out_states, params, new_ms, opt_state, loss, preds, aux
 
-        state_specs = jax.tree.map(lambda _: P(ax), self.table_states,
-                                   is_leaf=lambda x: hasattr(x, "shape"))
-        in_specs = (state_specs, P(), P(), P(), self._input_specs_pytree(),
-                    P(ax), P(), P())
-        out_specs = (state_specs, P(), P(), P(), P(), P(ax), P())
-        fn = jax.shard_map(local_step, mesh=mesh, in_specs=in_specs,
-                           out_specs=out_specs, check_vma=False)
-        return jax.jit(fn, donate_argnums=(0, 1, 2, 3))
+        self._local_step_raw = local_step
+        return self._wrap_local_step(local_step)
 
     def _build_eval(self):
         engine, module, task = self.engine, self.module, self.task

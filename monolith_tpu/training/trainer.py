@@ -281,6 +281,14 @@ class Trainer:
         return {"loss": losses, "preds": preds, "stats": stats,
                 "aux": auxes}
 
+    def _block_capable(self) -> bool:
+        """Whether train() may use K-steps-per-dispatch blocks at all."""
+        return self.engine.fuse_wire
+
+    def _block_eligible(self, batch) -> bool:
+        """Whether this batch's dtype layout supports the block path."""
+        return self.engine.fuse_wire and self._batch_layout(batch) is not None
+
     @staticmethod
     def _batch_layout(batch):
         """Static (key, dtype, shape) tuple; None if any array isn't 4-byte
@@ -444,7 +452,7 @@ class Trainer:
         With config.steps_per_dispatch > 1 (and the fuse_wire path), steps
         run in blocks of K per device dispatch; hooks fire once per block."""
         K = max(1, self.config.steps_per_dispatch)
-        if K > 1 and self.engine.fuse_wire:
+        if K > 1 and self._block_capable():
             return self._train_blocked(data, steps, hooks, K)
         t0 = time.time()
         examples = 0
@@ -490,7 +498,7 @@ class Trainer:
             if not pairs:
                 break
             blockable = (len(pairs) > 1 and self.params is not None
-                         and self._batch_layout(pairs[0][1]) is not None)
+                         and self._block_eligible(pairs[0][1]))
             if blockable:
                 out = self.train_step_block(pairs)
             else:

@@ -137,3 +137,36 @@ class TestA2AExchange:
         out = tr.train_step(fb, b)
         assert out["stats"]["overflow"]["sparse"] > 0
         assert np.isfinite(float(out["loss"]))
+
+
+class TestShardedBlockDispatch:
+    def test_block_matches_sequential(self):
+        """K sharded steps per dispatch (scan inside shard_map) must produce
+        identical results to sequential dispatches, for both exchanges."""
+        for exchange in ("allgather", "a2a"):
+            def run(block):
+                task = DeepFMTask(embedding_dim=8, capacity_per_shard=1024,
+                                  hidden=(16,), init_scale=0.0)
+                cfg = TrainerConfig(
+                    engine=EngineConfig(num_shards=8, unique_cap=128,
+                                        new_cap=128, exchange=exchange),
+                    log_every=0, seed=11,
+                    steps_per_dispatch=4 if block else 1)
+                tr = ShardedTrainer(task, cfg, make_mesh(8))
+                data = SyntheticCTR(num_users=80, num_items=40,
+                                    batch_size=128, seed=11)
+                res = tr.train(iter(data), steps=9)  # 1 init + 4 + 4
+                return res, tr
+
+            r1, t1 = run(True)
+            r2, t2 = run(False)
+            assert t1.step == t2.step == 9, exchange
+            np.testing.assert_allclose(r1["loss"], r2["loss"], rtol=1e-5,
+                                       err_msg=exchange)
+            for tname in t1.engine.tables:
+                jax.tree.map(
+                    lambda a, b: np.testing.assert_allclose(
+                        np.asarray(a, np.float32), np.asarray(b, np.float32),
+                        rtol=1e-5, err_msg=exchange),
+                    jax.device_get(t1.table_states[tname]),
+                    jax.device_get(t2.table_states[tname]))
