@@ -19,6 +19,12 @@ NOMINAL_BASELINE_EPS = 100_000.0  # examples/sec nominal target
 
 
 def main():
+    # persistent compile cache: repeat runs skip the ~40s first compile
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception:
+        pass
     from monolith_tpu.data.synthetic import SyntheticCTR
     from monolith_tpu.embedding.engine import EngineConfig
     from monolith_tpu.models.deepfm import DeepFMTask
