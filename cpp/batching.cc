@@ -22,7 +22,10 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <mutex>
 #include <vector>
+
+#include "threadpool.h"
 
 // store.cc's C ABI (linked into the same .so)
 extern "C" void mt_store_map_train_pos(void* s, const int64_t* fids, int64_t n,
@@ -147,7 +150,15 @@ class Batcher {
     return unique_scratch_;
   }
 
+  // Guards the epoch-stamped scratch: JAX async dispatch can have two
+  // in-flight steps invoke the same host callback concurrently (the
+  // multi-host io_callback path), and the pool runs tables on worker
+  // threads — an unlocked Begin/AddStream interleave would corrupt the
+  // dedup state silently. Uncontended lock cost is negligible vs the scan.
+  std::mutex& mu() { return mu_; }
+
  private:
+  std::mutex mu_;
   struct Slot {        // 16 bytes: one probe touches one cache line half
     int64_t key;
     int32_t val;
@@ -183,44 +194,13 @@ class Batcher {
   std::vector<int64_t> unique_scratch_;
 };
 
-}  // namespace
-
-extern "C" {
-
-void* mt_batcher_new(int64_t expected_unique) {
-  return new Batcher(expected_unique);
-}
-
-void mt_batcher_free(void* b) { delete static_cast<Batcher*>(b); }
-
-int64_t mt_batcher_dedup(void* b, const int64_t* values, int64_t n,
-                         int32_t num_shards, int64_t shard_cap,
-                         int64_t* out_unique, int32_t* out_index,
-                         int32_t* out_shard_counts) {
-  return static_cast<Batcher*>(b)->Dedup(values, n, num_shards, shard_cap,
-                                         out_unique, out_index,
-                                         out_shard_counts);
-}
-
-// Shard-of-fid helper so Python-side tests can cross-check bucketing.
-int32_t mt_shard_of(int64_t fid, int32_t num_shards) {
-  return (int32_t)(mix64((uint64_t)fid) % (uint64_t)num_shards);
-}
-
-// Fused single-shard host prepare (engine.prepare_wire): dedup all feature
-// streams, map unique fids through the store (admission + row alloc), and
-// emit the packed wire buffer in one pass:
-//   wire[0:U)            int32 rows; -1 invalid; bit 30 set on new rows
-//   then per stream      ceil(n_i/2) int32 words of int16 indices into the
-//                        unique list (-1 pad), odd tails padded with -1
-// stats out: [overflow, new_count, unique_count, filtered_count]
-// Returns total wire words written.
-int64_t mt_prepare_wire(void* batcher, void* store,
-                        const int64_t* const* streams, const int64_t* sizes,
-                        int32_t n_streams, uint32_t ts, int64_t unique_cap,
-                        int64_t new_cap, int32_t record_touch, int32_t* wire,
-                        int64_t* stats) {
-  Batcher* b = static_cast<Batcher*>(batcher);
+// Single-table prepare body, shared by the one-call and multi-table C
+// entries. Locks the batcher for the whole pass (see Batcher::mu()).
+int64_t PrepareWireOne(Batcher* b, void* store, const int64_t* const* streams,
+                       const int64_t* sizes, int32_t n_streams, uint32_t ts,
+                       int64_t unique_cap, int64_t new_cap,
+                       int32_t record_touch, int32_t* wire, int64_t* stats) {
+  std::lock_guard<std::mutex> g(b->mu());
   int64_t n_total = 0;
   for (int32_t i = 0; i < n_streams; ++i) n_total += sizes[i];
 
@@ -258,10 +238,90 @@ int64_t mt_prepare_wire(void* batcher, void* store,
     if (wire[i] == -1) ++filtered;
 
   stats[0] = b->overflow();
-  stats[1] = n_marked;  // admissions marked for init (capped at new_cap)
+  stats[1] = n_marked;  // admissions (the store caps these at new_cap)
   stats[2] = count;
   stats[3] = filtered;
+  stats[4] = n_new - n_marked;  // rejected: admission budget exhausted
   return off;
 }
+
+}  // namespace
+
+extern "C" {
+
+void* mt_batcher_new(int64_t expected_unique) {
+  return new Batcher(expected_unique);
+}
+
+void mt_batcher_free(void* b) { delete static_cast<Batcher*>(b); }
+
+int64_t mt_batcher_dedup(void* b, const int64_t* values, int64_t n,
+                         int32_t num_shards, int64_t shard_cap,
+                         int64_t* out_unique, int32_t* out_index,
+                         int32_t* out_shard_counts) {
+  Batcher* bb = static_cast<Batcher*>(b);
+  std::lock_guard<std::mutex> g(bb->mu());
+  return bb->Dedup(values, n, num_shards, shard_cap, out_unique, out_index,
+                   out_shard_counts);
+}
+
+// Shard-of-fid helper so Python-side tests can cross-check bucketing.
+int32_t mt_shard_of(int64_t fid, int32_t num_shards) {
+  return (int32_t)(mix64((uint64_t)fid) % (uint64_t)num_shards);
+}
+
+// Fused single-shard host prepare (engine.prepare_wire): dedup all feature
+// streams, map unique fids through the store (admission + row alloc), and
+// emit the packed wire buffer in one pass:
+//   wire[0:U)            int32 rows; -1 invalid; bit 30 set on new rows
+//   then per stream      ceil(n_i/2) int32 words of int16 indices into the
+//                        unique list (-1 pad), odd tails padded with -1
+// stats out: [overflow, new_count, unique_count, filtered_count,
+//             new_rejected] — new_rejected counts ids that passed admission
+// but exceeded the per-step new_cap budget (rejected this step, retried on
+// the next; see Store::MapForTraining).
+// Returns total wire words written.
+int64_t mt_prepare_wire(void* batcher, void* store,
+                        const int64_t* const* streams, const int64_t* sizes,
+                        int32_t n_streams, uint32_t ts, int64_t unique_cap,
+                        int64_t new_cap, int32_t record_touch, int32_t* wire,
+                        int64_t* stats) {
+  return PrepareWireOne(static_cast<Batcher*>(batcher), store, streams, sizes,
+                        n_streams, ts, unique_cap, new_cap, record_touch,
+                        wire, stats);
+}
+
+// Multi-table fused prepare: ONE native call per step covering ALL tables,
+// each table's (dedup + store map + wire pack) running as one task on the
+// global host thread pool (ref: ShardingSparseFidsOp parallel parse,
+// data/kernels/parse_sparse_feature.h:42 + runtime/concurrency/thread_pool).
+// Tables share no mutable state (one Batcher + Store per table; stores have
+// their own mutexes), so this is embarrassingly parallel.
+//   batchers/stores:  [n_tables] handles
+//   streams/sizes:    flattened per-table feature streams
+//   stream_offsets:   [n_tables+1] table t owns streams[so[t]..so[t+1])
+//   wire_offsets:     [n_tables+1] word offsets of each table's wire region
+//   stats:            [n_tables * 5], layout as mt_prepare_wire
+// Returns total wire words (== wire_offsets[n_tables]).
+int64_t mt_prepare_wire_multi(int32_t n_tables, void** batchers, void** stores,
+                              const int64_t* const* streams,
+                              const int64_t* sizes,
+                              const int64_t* stream_offsets,
+                              const int64_t* wire_offsets, uint32_t ts,
+                              int64_t unique_cap, int64_t new_cap,
+                              int32_t record_touch, int32_t* wire,
+                              int64_t* stats) {
+  ThreadPool::Global().ParallelFor(n_tables, [&](int64_t t) {
+    int64_t s0 = stream_offsets[t];
+    PrepareWireOne(static_cast<Batcher*>(batchers[t]), stores[t], streams + s0,
+                   sizes + s0, (int32_t)(stream_offsets[t + 1] - s0), ts,
+                   unique_cap, new_cap, record_touch, wire + wire_offsets[t],
+                   stats + t * 5);
+  });
+  return wire_offsets[n_tables];
+}
+
+// How many worker threads the host pool runs (0 = everything inline).
+int32_t mt_host_threads() { return ThreadPool::Global().size(); }
 
 }  // extern "C"

@@ -17,6 +17,7 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <mutex>
 #include <vector>
 
 namespace {
@@ -81,6 +82,10 @@ class Batcher2D {
     global_.Ensure((uint64_t)expected_unique);
     bucket_.Ensure((uint64_t)expected_unique);
   }
+
+  // Guards the epoch-stamped scratch against concurrent callers (async
+  // dispatch can overlap two in-flight steps' host callbacks).
+  std::mutex& mu() { return mu_; }
 
   int64_t Dedup(const int64_t* values, int64_t n, int32_t num_batch_shards,
                 int32_t num_shards, int64_t global_cap, int64_t bucket_cap,
@@ -153,6 +158,7 @@ class Batcher2D {
   }
 
  private:
+  std::mutex mu_;
   Map global_, bucket_;
 };
 
@@ -172,9 +178,11 @@ int64_t mt_batcher2d_dedup(void* b, const int64_t* values, int64_t n,
                            int64_t* out_unique, int32_t* out_counts,
                            int32_t* out_bucket_idx, int32_t* out_bucket_counts,
                            int32_t* out_index) {
-  return static_cast<Batcher2D*>(b)->Dedup(
-      values, n, num_batch_shards, num_shards, global_cap, bucket_cap,
-      out_unique, out_counts, out_bucket_idx, out_bucket_counts, out_index);
+  Batcher2D* bb = static_cast<Batcher2D*>(b);
+  std::lock_guard<std::mutex> g(bb->mu());
+  return bb->Dedup(values, n, num_batch_shards, num_shards, global_cap,
+                   bucket_cap, out_unique, out_counts, out_bucket_idx,
+                   out_bucket_counts, out_index);
 }
 
 }  // extern "C"

@@ -232,8 +232,13 @@ class Store {
   // Map fids to rows, admitting new ids subject to the filter.
   // out_rows[i] = row index, or -1 if filtered / out of capacity.
   // New ids admitted this call are appended to out_new_rows/out_new_fids
-  // (up to new_cap); returns the number of new ids via *out_new_count
-  // (clamped to new_cap; overflow new ids are still admitted and mapped).
+  // (up to new_cap). Once the new_cap budget is spent, further new ids are
+  // REJECTED for this call (row -1, retried next step) — admitting them
+  // would hand out device rows the caller never initializes, which for
+  // rows recycled off the free list means inheriting stale params and
+  // optimizer state (the reference cannot lose init because its C++ table
+  // initializes on insert, entry_accessor.cc Init). *out_new_count returns
+  // admitted + rejected, so callers read rejected = count - new_cap.
   // `record_touch`: also record fids whose rows exist (for param sync).
   void MapForTraining(const int64_t* fids, int64_t n, uint32_t ts,
                       int32_t* out_rows, int32_t* out_new_rows,
@@ -266,6 +271,11 @@ class Store {
         out_rows[i] = -1;
         continue;
       }
+      if (n_new >= new_cap) {  // per-call admission budget spent: reject
+        out_rows[i] = -1;
+        ++n_new;
+        continue;
+      }
       int64_t row = AllocRow();
       if (row < 0) {  // pool exhausted
         out_rows[i] = -1;
@@ -273,13 +283,11 @@ class Store {
       }
       Insert(fid, pos, (uint32_t)row, ts);
       out_rows[i] = (int32_t)row;
-      if (n_new < new_cap) {
-        out_new_rows[n_new] = (int32_t)row;
-        out_new_fids[n_new] = fid;
-        // compact wire format also wants the position of each new id within
-        // the input fid array (strictly increasing by construction)
-        if (out_new_pos) out_new_pos[n_new] = (int32_t)i;
-      }
+      out_new_rows[n_new] = (int32_t)row;
+      out_new_fids[n_new] = fid;
+      // compact wire format also wants the position of each new id within
+      // the input fid array (strictly increasing by construction)
+      if (out_new_pos) out_new_pos[n_new] = (int32_t)i;
       ++n_new;
       if (record_touch) touched_.push_back(fid);
     }

@@ -155,7 +155,9 @@ class EmbeddingEngine:
         S, U, K = cfg.num_shards, cfg.unique_cap, cfg.new_cap
         compact = cfg.compact_wire
         packed = self.packed
-        inputs, stats = {}, {"overflow": {}, "new": {}, "unique": {}, "filtered": {}}
+        inputs = {}
+        stats = {"overflow": {}, "new": {}, "unique": {}, "filtered": {},
+                 "new_rejected": {}}
         for tname, feats in self.table_features.items():
             if not feats:
                 continue
@@ -183,6 +185,8 @@ class EmbeddingEngine:
                     revive_rows = np.full((S, K), -1, dtype=np.int32)
                 revive_values = np.zeros((S, K, width), dtype=np.float32)
             n_new = 0
+            n_rej = 0
+            n_filtered = 0
             for s in range(S):
                 c = int(counts[s])
                 if c == 0:
@@ -202,6 +206,8 @@ class EmbeddingEngine:
                     new_rows[s, :len(nr)] = nr
                 rows[s, :c] = r
                 n_new += len(nr)
+                n_rej += self.stores[tname][s].last_rejected
+                n_filtered += int((r == -1).sum())
                 if tiered and len(nf):
                     ok, vals = self.archives[tname][s].revive(nf)
                     if ok.any():
@@ -235,7 +241,10 @@ class EmbeddingEngine:
             stats["overflow"][tname] = overflow
             stats["new"][tname] = n_new
             stats["unique"][tname] = int(counts.sum())
-            stats["filtered"][tname] = int((rows == -1).sum()) - (S * U - int(counts.sum()))
+            # counted per shard over the first counts[s] entries only, so
+            # padding slots and dedup-overflow drops never inflate it
+            stats["filtered"][tname] = n_filtered
+            stats["new_rejected"][tname] = n_rej
         return inputs, stats
 
     def prepare_batch_a2a(self, fid_batch: Dict[str, np.ndarray], ts: int
@@ -250,7 +259,8 @@ class EmbeddingEngine:
         S, U, K = cfg.num_shards, cfg.unique_cap, cfg.new_cap
         D = S
         cap = cfg.effective_bucket_cap
-        inputs, stats = {}, {"overflow": {}, "new": {}, "unique": {}}
+        inputs = {}
+        stats = {"overflow": {}, "new": {}, "unique": {}, "new_rejected": {}}
         for tname, feats in self.table_features.items():
             if not feats:
                 continue
@@ -287,6 +297,7 @@ class EmbeddingEngine:
                     revive_rows = np.full((S, K), -1, dtype=np.int32)
                 revive_values = np.zeros((S, K, width), dtype=np.float32)
             n_new = 0
+            n_rej = 0
             for s_i in range(S):
                 c = int(counts[s_i])
                 if c == 0:
@@ -306,6 +317,7 @@ class EmbeddingEngine:
                     new_rows[s_i, :len(nr)] = nr
                 rows[s_i, :c] = r
                 n_new += len(nr)
+                n_rej += self.stores[tname][s_i].last_rejected
                 if tiered and len(nf):
                     ok, vals = self.archives[tname][s_i].revive(nf)
                     if ok.any():
@@ -346,6 +358,7 @@ class EmbeddingEngine:
             stats["overflow"][tname] = overflow
             stats["new"][tname] = n_new
             stats["unique"][tname] = int(counts.sum())
+            stats["new_rejected"][tname] = n_rej
         return inputs, stats
 
     def evict_expired(self, expire_before: int) -> Dict[str, np.ndarray]:
@@ -453,8 +466,15 @@ class EmbeddingEngine:
         attached chips and serializes with host prep on small hosts;
         packing rows+new_mask+index into one buffer cuts the per-step
         transfer count from ~5 to 1. Enabled on the packed single-shard
-        path (multi-shard inputs are sharded pytrees; see sharded.py)."""
-        return (self.packed and self.config.num_shards == 1
+        path (multi-shard inputs are sharded pytrees; see sharded.py).
+
+        The wire always carries per-feature indices as int16, so the path
+        requires unique_cap <= 32768 (index values < unique_cap) and an
+        explicit compact_wire opt-in — larger caps fall back to the
+        multi-array int32 path instead of silently wrapping indices."""
+        return (self.packed and self.config.compact_wire
+                and self.config.num_shards == 1
+                and self.config.unique_cap <= 32768
                 and not self.config.tiered)
 
     def wire_words(self, batch_size: int) -> int:
@@ -471,42 +491,55 @@ class EmbeddingEngine:
     def prepare_wire(self, fid_batch: Dict[str, np.ndarray], ts: int,
                      out: Optional[np.ndarray] = None
                      ) -> Tuple[np.ndarray, Dict]:
-        """Fused host prepare for the fuse_wire path: one C++ pass per table
-        does dedup + store map + wire pack, writing straight into the final
-        int32 wire buffer (layout identical to prepare_batch + pack_wire).
-        Replaces ~4 intermediate numpy copies per step with zero. Pass `out`
+        """Fused host prepare for the fuse_wire path: ONE native call runs
+        dedup + store map + wire pack for ALL tables, each table as one task
+        on the native thread pool (many-table models parallelize across host
+        cores; ref ShardingSparseFidsOp parallel parse). Writes straight
+        into the final int32 wire buffer (layout identical to prepare_batch
+        + pack_wire) with zero intermediate numpy copies. Pass `out`
         (contiguous int32, exactly the engine wire length) to write into a
         larger caller-owned transfer buffer."""
         from monolith_tpu.embedding import host_store
         cfg = self.config
         U, K = cfg.unique_cap, cfg.new_cap
-        stats = {"overflow": {}, "new": {}, "unique": {}, "filtered": {}}
-        table_streams = []
-        total = 0
+        if U > 32768 or not cfg.compact_wire:
+            # int16 feature indices can only address 32768 unique rows; a
+            # larger cap would wrap negative and silently alias rows
+            raise ValueError(
+                f"prepare_wire requires compact_wire and unique_cap <= 32768 "
+                f"(got compact_wire={cfg.compact_wire}, unique_cap={U}); "
+                f"use prepare_batch (int32 indices) instead")
+        names, streams_per_table = [], []
+        offsets = [0]
         for tname in sorted(self.table_features):
             feats = self.table_features[tname]
             if not feats:
                 continue
             streams = [np.ascontiguousarray(fid_batch[f.name], dtype=np.int64)
                        for f in feats]
-            words = U + sum((s.size + 1) // 2 for s in streams)
-            table_streams.append((tname, streams, words))
-            total += words
+            names.append(tname)
+            streams_per_table.append(streams)
+            offsets.append(offsets[-1] + U
+                           + sum((s.size + 1) // 2 for s in streams))
+        offsets = np.asarray(offsets, dtype=np.int64)
+        total = int(offsets[-1])
         if out is not None:
             assert out.size == total and out.dtype == np.int32
             wire = out
         else:
             wire = np.empty(total, dtype=np.int32)
-        off = 0
-        for tname, streams, words in table_streams:
-            ov, nn, uc, filt = host_store.prepare_wire(
-                self.batchers[tname], self.stores[tname][0], streams, ts,
-                U, K, cfg.record_touch, wire[off:off + words])
-            off += words
-            stats["overflow"][tname] = ov
-            stats["new"][tname] = nn
-            stats["unique"][tname] = uc
-            stats["filtered"][tname] = filt
+        st = host_store.prepare_wire_multi(
+            [self.batchers[t] for t in names],
+            [self.stores[t][0] for t in names],
+            streams_per_table, ts, U, K, cfg.record_touch, wire, offsets)
+        stats = {"overflow": {}, "new": {}, "unique": {}, "filtered": {},
+                 "new_rejected": {}}
+        for i, tname in enumerate(names):
+            stats["overflow"][tname] = int(st[i, 0])
+            stats["new"][tname] = int(st[i, 1])
+            stats["unique"][tname] = int(st[i, 2])
+            stats["filtered"][tname] = int(st[i, 3])
+            stats["new_rejected"][tname] = int(st[i, 4])
         return wire, stats
 
     def pack_wire(self, inputs: Dict) -> np.ndarray:
@@ -676,13 +709,20 @@ class EmbeddingEngine:
                         step: jnp.ndarray) -> Dict:
         """Per-segment optimize of each table's touched rows."""
         out = dict(states)
-        for tname, tin in inputs.items():
+        for i, (tname, tin) in enumerate(sorted(inputs.items())):
             spec = self.tables[tname]
             g = unique_grads[tname].reshape(
                 self.config.num_shards, self.config.unique_cap, spec.dim)
+            # distinct (table, shard, step) keys for stochastic bf16
+            # write-back — identical keys would correlate rounding noise
+            # across shards and break its in-expectation accumulation
+            tkey = jax.random.fold_in(jax.random.fold_in(
+                jax.random.PRNGKey(1), step), i)
+            skeys = jax.random.split(tkey, self.config.num_shards)
             out[tname] = jax.vmap(
-                lambda st, rows, gg: table_lib.apply_gradients(spec, st, rows, gg, step)
-            )(states[tname], jnp.asarray(tin["rows"]), g)
+                lambda st, rows, gg, k: table_lib.apply_gradients(
+                    spec, st, rows, gg, step, key=k)
+            )(states[tname], jnp.asarray(tin["rows"]), g, skeys)
         return out
 
     # convenience: full differentiable embed step ----------------------

@@ -50,6 +50,7 @@ class HostStore:
         self._h = self._lib.mt_store_new(
             self.row_capacity, int(filter_kind), int(filter_capacity),
             int(filter_splits), int(admit_threshold), int(seed))
+        self.last_rejected = 0  # budget-rejected ids from the last map call
 
     def __del__(self):
         h = getattr(self, "_h", None)
@@ -62,10 +63,14 @@ class HostStore:
                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Map fids to rows for a training step.
 
-        Admits new ids subject to the admission filter. Returns
-        (rows int32 [n] with -1 for filtered/out-of-capacity,
-         new_rows int32 [k], new_fids int64 [k]) where k is the number of ids
-        admitted by this call (so the device can initialize those rows).
+        Admits new ids subject to the admission filter AND the per-call
+        `new_cap` budget: once k == new_cap ids have been admitted, further
+        new ids are rejected for this step (row -1, retried next step) so
+        the device always initializes every admitted row — an over-budget
+        admission would silently inherit stale state from a recycled row.
+        Returns (rows int32 [n] with -1 for filtered/rejected/
+        out-of-capacity, new_rows int32 [k], new_fids int64 [k]); the number
+        of budget-rejected ids is exposed as `self.last_rejected`.
         """
         fids = np.ascontiguousarray(fids, dtype=np.int64)
         n = fids.size
@@ -81,6 +86,7 @@ class HostStore:
             _ptr(new_fids, ctypes.c_int64), new_cap,
             _ptr(new_count, ctypes.c_int64), 1 if record_touch else 0)
         k = min(int(new_count[0]), new_cap)
+        self.last_rejected = int(new_count[0]) - k
         return rows, new_rows[:k], new_fids[:k]
 
     def map_train_pos(self, fids: np.ndarray, ts: int,
@@ -106,6 +112,7 @@ class HostStore:
             new_cap, _ptr(new_count, ctypes.c_int64),
             1 if record_touch else 0)
         k = min(int(new_count[0]), new_cap)
+        self.last_rejected = int(new_count[0]) - k
         return rows, new_rows[:k], new_fids[:k], new_pos[:k]
 
     def lookup(self, fids: np.ndarray) -> np.ndarray:
@@ -264,18 +271,56 @@ def prepare_wire(batcher: "Batcher", store: HostStore,
     must be a contiguous int32 array of exactly
     unique_cap + sum(ceil(s.size/2)) words.
 
-    Returns (overflow, new_count, unique_count, filtered_count)."""
+    Returns (overflow, new_count, unique_count, filtered_count,
+    new_rejected) — new_rejected counts ids that passed admission but ran
+    over the per-step new_cap budget (rejected this step)."""
     n = len(streams)
     ptrs = (ctypes.POINTER(ctypes.c_int64) * n)(
         *[_ptr(s, ctypes.c_int64) for s in streams])
     sizes = np.array([s.size for s in streams], dtype=np.int64)
-    stats = np.zeros(4, dtype=np.int64)
+    stats = np.zeros(5, dtype=np.int64)
     words = batcher._lib.mt_prepare_wire(
         batcher._h, store._h, ptrs, _ptr(sizes, ctypes.c_int64), n, ts,
         unique_cap, new_cap, 1 if record_touch else 0,
         _ptr(wire_out, ctypes.c_int32), _ptr(stats, ctypes.c_int64))
     assert words == wire_out.size, (words, wire_out.size)
-    return int(stats[0]), int(stats[1]), int(stats[2]), int(stats[3])
+    return tuple(int(x) for x in stats)
+
+
+def prepare_wire_multi(batchers, stores, table_streams, ts: int,
+                       unique_cap: int, new_cap: int, record_touch: bool,
+                       wire_out: np.ndarray, wire_offsets: np.ndarray
+                       ) -> np.ndarray:
+    """Multi-table fused host prepare: ONE native call for ALL tables, each
+    table's dedup+map+pack running as one task on the native thread pool
+    (ref ShardingSparseFidsOp parallel parse). `table_streams` is a list of
+    per-table stream lists; `wire_offsets` [T+1] gives each table's word
+    offset in `wire_out`. Returns stats as an int64 [T, 5] array
+    (overflow, new, unique, filtered, new_rejected per table)."""
+    T = len(batchers)
+    flat = [s for streams in table_streams for s in streams]
+    n = len(flat)
+    ptrs = (ctypes.POINTER(ctypes.c_int64) * n)(
+        *[_ptr(s, ctypes.c_int64) for s in flat])
+    sizes = np.array([s.size for s in flat], dtype=np.int64)
+    soffs = np.zeros(T + 1, dtype=np.int64)
+    np.cumsum([len(st) for st in table_streams], out=soffs[1:])
+    bh = (ctypes.c_void_p * T)(*[b._h for b in batchers])
+    sh = (ctypes.c_void_p * T)(*[s._h for s in stores])
+    stats = np.zeros((T, 5), dtype=np.int64)
+    lib = batchers[0]._lib
+    words = lib.mt_prepare_wire_multi(
+        T, bh, sh, ptrs, _ptr(sizes, ctypes.c_int64),
+        _ptr(soffs, ctypes.c_int64), _ptr(wire_offsets, ctypes.c_int64),
+        ts, unique_cap, new_cap, 1 if record_touch else 0,
+        _ptr(wire_out, ctypes.c_int32), _ptr(stats, ctypes.c_int64))
+    assert words == wire_out.size, (words, wire_out.size)
+    return stats
+
+
+def host_threads() -> int:
+    """Worker threads in the native host pool (0 = inline execution)."""
+    return int(native.get_lib().mt_host_threads())
 
 
 class Batcher2D:
@@ -327,3 +372,17 @@ class Batcher2D:
 
 def shard_of(fid: int, num_shards: int) -> int:
     return int(native.get_lib().mt_shard_of(int(fid), int(num_shards)))
+
+
+def shard_of_batch(fids: np.ndarray, num_shards: int) -> np.ndarray:
+    """Vectorized shard_of: splitmix64(fid) % num_shards over a whole array
+    (numpy uint64 wrap-around matches the C++ arithmetic exactly). Used by
+    checkpoint resharding, where a per-fid FFI round-trip would turn a
+    restore of millions of entries into minutes of ctypes overhead."""
+    x = np.asarray(fids).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        x = x + np.uint64(0x9E3779B97F4A7C15)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x = x ^ (x >> np.uint64(31))
+    return (x % np.uint64(num_shards)).astype(np.int64)

@@ -234,12 +234,17 @@ def init_rows(spec: TableSpec, state: TableState, rows: jnp.ndarray,
 
 
 def apply_gradients(spec: TableSpec, state: TableState, rows: jnp.ndarray,
-                    grads: jnp.ndarray, step: jnp.ndarray) -> TableState:
+                    grads: jnp.ndarray, step: jnp.ndarray,
+                    key: jax.Array = None) -> TableState:
     """Per-segment per-row optimize (ref BatchOptimize). `rows` [m] must be
-    unique; -1 entries drop. `grads` [m, dim] are summed per unique row."""
+    unique; -1 entries drop. `grads` [m, dim] are summed per unique row.
+    `key` seeds the stochastic bf16 write-back; callers that vmap over
+    shards/tables must pass distinct keys so rounding noise stays
+    independent (the in-expectation accumulation argument needs it)."""
     if "data" in state:
         packed = gather_packed(spec, state, rows)
-        key = jax.random.fold_in(jax.random.PRNGKey(0), step)
+        if key is None:
+            key = jax.random.fold_in(jax.random.PRNGKey(0), step)
         return scatter_packed(spec, state, rows,
                               optimize_packed(spec, packed, grads, step),
                               key=key)
@@ -262,7 +267,8 @@ def apply_gradients(spec: TableSpec, state: TableState, rows: jnp.ndarray,
     p_new_full = jnp.concatenate(new_p_pieces, axis=-1)
     if spec.stochastic_rounding and spec.dtype == jnp.bfloat16:
         from monolith_tpu.ops.rounding import stochastic_round_bf16
-        key = jax.random.fold_in(jax.random.PRNGKey(0), step)
+        if key is None:
+            key = jax.random.fold_in(jax.random.PRNGKey(0), step)
         p_new_full = stochastic_round_bf16(p_new_full, key)
     else:
         p_new_full = p_new_full.astype(spec.dtype)

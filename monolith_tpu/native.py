@@ -93,6 +93,14 @@ def _declare(lib: ctypes.CDLL) -> None:
         ctypes.c_void_p, ctypes.c_void_p, ctypes.POINTER(c_i64_p), c_i64_p,
         ctypes.c_int32, ctypes.c_uint32, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int32, c_i32_p, c_i64_p]
+    d.mt_prepare_wire_multi.restype = ctypes.c_int64
+    d.mt_prepare_wire_multi.argtypes = [
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_void_p),
+        ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(c_i64_p), c_i64_p,
+        c_i64_p, c_i64_p, ctypes.c_uint32, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int32, c_i32_p, c_i64_p]
+    d.mt_host_threads.restype = ctypes.c_int32
+    d.mt_host_threads.argtypes = []
 
     d.mt_batcher2d_new.restype = ctypes.c_void_p
     d.mt_batcher2d_new.argtypes = [ctypes.c_int64]

@@ -244,7 +244,7 @@ def _restore_resharded(trainer, tname, spec, path, old_shards: int,
     """
     import jax.numpy as jnp
 
-    from monolith_tpu.embedding.host_store import shard_of
+    from monolith_tpu.embedding.host_store import shard_of_batch
 
     # 1. collect every entry across the old shards
     all_fids, all_tss, all_counts = [], [], []
@@ -273,9 +273,9 @@ def _restore_resharded(trainer, tname, spec, path, old_shards: int,
               if pool_vals else np.empty((0, spec.dim), np.float32))
     slots_cat = {k: np.concatenate(v) for k, v in slot_vals.items()}
 
-    # 2. route to new shards with the batcher's hash
-    dest = np.fromiter((shard_of(int(f), new_shards) for f in fids),
-                       dtype=np.int64, count=len(fids))
+    # 2. route to new shards with the batcher's hash (vectorized: one numpy
+    # pass over all fids, not one ctypes call per fid)
+    dest = shard_of_batch(fids, new_shards)
     cap = spec.capacity_per_shard
     pools = np.zeros((new_shards, cap, spec.dim), dtype=np.float32)
     slot_out = {k: np.zeros((new_shards, cap) + v.shape[1:], dtype=v.dtype)

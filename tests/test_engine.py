@@ -375,3 +375,128 @@ class TestBlockDispatch:
                 t1.table_states[tname], t2.table_states[tname])
         jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6),
                      t1.params, t2.params)
+
+
+class TestNewCapBudget:
+    """The per-step admission budget must REJECT over-budget new ids rather
+    than silently mapping them to uninitialized (possibly recycled) rows —
+    the round-1 correctness hazard. Reference behavior: the C++ table
+    initializes on insert (entry_accessor.cc Init), so it cannot lose init;
+    here init happens on device, so admission is capped to what the device
+    will initialize."""
+
+    def test_store_rejects_over_budget(self):
+        from monolith_tpu.embedding.host_store import HostStore
+        st = HostStore(row_capacity=64)
+        fids = np.arange(1, 11, dtype=np.int64)
+        rows, nr, nf = st.map_train(fids, ts=1, new_cap=4)
+        assert len(nr) == 4
+        assert st.last_rejected == 6
+        assert (rows[:4] >= 0).all() and (rows[4:] == -1).all()
+        # rejected ids admit on a later call (budget refreshes per call)
+        rows2, nr2, _ = st.map_train(fids, ts=2, new_cap=16)
+        assert (rows2 >= 0).all()
+        assert len(nr2) == 6
+        assert st.last_rejected == 0
+        np.testing.assert_array_equal(rows[:4], rows2[:4])
+
+    def test_recycled_rows_never_leak_stale_state(self):
+        """Evict a table, recycle its rows, overflow new_cap: over-budget ids
+        must read zeros (not stale rows), be counted in stats, and — once
+        admitted on a later step — read initializer values with RESET
+        optimizer accumulators."""
+        from monolith_tpu.embedding import table as table_lib
+
+        spec = TableSpec(
+            name="user", capacity_per_shard=64,
+            segments=(TableSegment(dim=4,
+                                   optimizer=optimizers.Adagrad(
+                                       learning_rate=0.5,
+                                       initial_accumulator_value=0.1),
+                                   initializer=initializers.Constants(1.0)),),
+            eviction=EvictionConfig(ttl_seconds=100))
+        feats = [FeatureConfig(name="uid", table="user", max_length=1,
+                               combiner="sum")]
+        eng = EmbeddingEngine([spec], feats,
+                              EngineConfig(num_shards=1, unique_cap=16,
+                                           new_cap=4))
+        assert eng.packed
+        states = eng.create_states()
+        key = jax.random.PRNGKey(0)
+
+        def train_ids(states, ids, ts, step, grad=1.0):
+            fb = {"uid": np.asarray(ids, np.int64).reshape(-1, 1)}
+            inputs, stats = eng.prepare_batch(fb, ts=ts)
+            prows, unique = eng.fused_lookup(states, inputs, key, step)
+            g = {"user": jnp.full_like(unique["user"], grad)}
+            states = eng.fused_apply(states, inputs, prows, g, jnp.int32(step))
+            return states, inputs, stats, unique
+
+        # step 1: train ids 1..4 so their rows carry dirty params+accums
+        states, _, _, _ = train_ids(states, [1, 2, 3, 4], ts=10, step=0)
+        dirty_rows = eng.stores["user"][0].lookup(
+            np.array([1, 2, 3, 4], np.int64))
+        assert (dirty_rows >= 0).all()
+        row_data = np.asarray(states["user"]["data"][0])
+        assert not np.allclose(row_data[dirty_rows[0], :4], 1.0)   # params moved
+        assert not np.allclose(row_data[dirty_rows[0], 4:8], 0.1)  # accums moved
+
+        # evict: rows go to the free list, device rows NOT zeroed
+        freed = eng.evict_expired(expire_before=50)
+        assert len(freed["user"]) == 4
+
+        # step 2: 10 new ids vs budget 4 -> 6 rejected, counted, read zero
+        # (grad 0 so every admitted row should hold exactly the init values)
+        new_ids = list(range(11, 21))
+        states, inputs, stats, unique = train_ids(states, new_ids, ts=60,
+                                                  step=1, grad=0.0)
+        assert stats["new"]["user"] == 4
+        assert stats["new_rejected"]["user"] == 6
+        rows = inputs["user"]["rows"][0]
+        assert (rows[:4] >= 0).all() and (rows[4:10] == -1).all()
+        u = np.asarray(unique["user"])
+        np.testing.assert_allclose(u[:4], 1.0)   # admitted: initializer
+        np.testing.assert_allclose(u[4:10], 0.0)  # rejected: zeros, no leak
+
+        # step 3: rejected ids retry; each admitted id (some on recycled
+        # rows) must read initializer params with reset accumulators
+        states, inputs2, stats2, unique2 = train_ids(states, new_ids, ts=61,
+                                                     step=2, grad=0.0)
+        assert stats2["new"]["user"] == 4 and stats2["new_rejected"]["user"] == 2
+        store = eng.stores["user"][0]
+        admitted = store.lookup(np.asarray(new_ids, np.int64))
+        recycled = set(dirty_rows.tolist()) & set(
+            admitted[admitted >= 0].tolist())
+        assert recycled, "free-list rows must have been recycled"
+        row_data = np.asarray(states["user"]["data"][0])
+        for r in sorted(recycled):
+            np.testing.assert_allclose(row_data[r, :4], 1.0, rtol=1e-6,
+                                       err_msg="recycled row leaked params")
+            np.testing.assert_allclose(row_data[r, 4:8], 0.1, rtol=1e-6,
+                                       err_msg="recycled row leaked accums")
+
+    def test_prepare_wire_rejects_oversized_cap(self):
+        import pytest
+        tables = [TableSpec(name="t", capacity_per_shard=256,
+                            segments=(TableSegment(dim=4),))]
+        feats = [FeatureConfig(name="f", table="t", max_length=2,
+                               combiner="sum")]
+        eng = EmbeddingEngine(tables, feats,
+                              EngineConfig(num_shards=1, unique_cap=40960))
+        # int16 wire indices cannot address >32768 uniques: the fused wire
+        # path must be OFF, and a direct prepare_wire call must fail loudly
+        assert not eng.fuse_wire
+        with pytest.raises(ValueError):
+            eng.prepare_wire({"f": np.zeros((2, 2), np.int64)}, ts=1)
+        eng2 = EmbeddingEngine(tables, feats,
+                               EngineConfig(num_shards=1, unique_cap=1024,
+                                            compact_wire=False))
+        assert not eng2.fuse_wire  # user's int32 opt-out is honored
+
+    def test_shard_of_batch_matches_scalar(self):
+        from monolith_tpu.embedding.host_store import shard_of, shard_of_batch
+        rng = np.random.default_rng(0)
+        fids = rng.integers(0, 2**62, size=1000, dtype=np.int64)
+        batch = shard_of_batch(fids, 8)
+        scalar = np.array([shard_of(int(f), 8) for f in fids[:100]])
+        np.testing.assert_array_equal(batch[:100], scalar)

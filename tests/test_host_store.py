@@ -199,3 +199,111 @@ class TestBatcher:
             flat = unique.ravel()
             for i, v in enumerate(vals):
                 assert flat[index[i]] == v
+
+
+class TestHostPrepareConcurrency:
+    """The Batcher's epoch-stamped scratch is shared state; JAX async
+    dispatch can overlap two in-flight steps' host callbacks, and the native
+    thread pool runs tables on workers. Both paths must be race-free (the
+    native lib locks each Batcher for the whole call)."""
+
+    def test_batcher_concurrent_dedup_safe(self):
+        import threading
+        b = Batcher(expected_unique=1024)
+        errs = []
+
+        def work(seed):
+            rng = np.random.default_rng(seed)
+            for _ in range(100):
+                vals = rng.integers(0, 500, size=256).astype(np.int64)
+                unique, index, counts, ov = b.dedup(vals, num_shards=1,
+                                                    shard_cap=512)
+                flat = unique.ravel()
+                if not (flat[index] == vals).all():
+                    errs.append(f"seed {seed}: index/unique mismatch")
+                    return
+
+        threads = [threading.Thread(target=work, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs, errs
+
+    def test_concurrent_prepare_wire_same_engine(self):
+        """Two threads driving prepare_wire on the SAME engine (same
+        batchers/stores) — each call must produce an internally-consistent
+        wire (all admitted ids mapped, indices in range)."""
+        import threading
+
+        from monolith_tpu.embedding.engine import EmbeddingEngine, EngineConfig
+        from monolith_tpu.embedding.spec import TableSegment, TableSpec
+        from monolith_tpu.feature import FeatureConfig
+
+        tables = [TableSpec(name="t", capacity_per_shard=4096,
+                            segments=(TableSegment(dim=4),))]
+        feats = [FeatureConfig(name="f", table="t", max_length=4,
+                               combiner="sum")]
+        eng = EmbeddingEngine(tables, feats,
+                              EngineConfig(unique_cap=512, new_cap=512))
+        U = 512
+        errs = []
+
+        def work(seed):
+            rng = np.random.default_rng(seed)
+            for _ in range(50):
+                fids = rng.integers(0, 2000, size=(32, 4)).astype(np.int64)
+                wire, stats = eng.prepare_wire({"f": fids}, ts=1)
+                rows = wire[:U]
+                idx = wire[U:].view(np.int16)[:fids.size]
+                if idx.max() >= U or stats["unique"]["t"] > U:
+                    errs.append("wire out of range")
+                    return
+
+        threads = [threading.Thread(target=work, args=(i,)) for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs, errs
+
+
+class TestPrepareWireMulti:
+    def test_matches_per_table_calls(self):
+        """One pooled native call over N tables must produce byte-identical
+        wires and stats to N sequential single-table calls."""
+        from monolith_tpu.embedding import host_store
+
+        rng = np.random.default_rng(3)
+        T, U, K = 3, 64, 32
+
+        def fresh():
+            batchers = [Batcher(expected_unique=U) for _ in range(T)]
+            stores = [HostStore(row_capacity=256, seed=7 + i)
+                      for i in range(T)]
+            return batchers, stores
+
+        streams_per_table = [
+            [rng.integers(0, 100, size=24).astype(np.int64),
+             rng.integers(0, 100, size=17).astype(np.int64)]
+            for _ in range(T)]
+        words = [U + sum((s.size + 1) // 2 for s in st)
+                 for st in streams_per_table]
+        offs = np.concatenate([[0], np.cumsum(words)]).astype(np.int64)
+
+        b1, s1 = fresh()
+        wire_multi = np.empty(int(offs[-1]), dtype=np.int32)
+        stats_multi = host_store.prepare_wire_multi(
+            b1, s1, streams_per_table, 5, U, K, False, wire_multi, offs)
+
+        b2, s2 = fresh()
+        wire_seq = np.empty(int(offs[-1]), dtype=np.int32)
+        stats_seq = []
+        for t in range(T):
+            st = host_store.prepare_wire(
+                b2[t], s2[t], streams_per_table[t], 5, U, K, False,
+                wire_seq[offs[t]:offs[t + 1]])
+            stats_seq.append(st)
+        np.testing.assert_array_equal(wire_multi, wire_seq)
+        np.testing.assert_array_equal(stats_multi,
+                                      np.asarray(stats_seq, np.int64))
