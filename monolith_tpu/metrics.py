@@ -11,6 +11,46 @@ from __future__ import annotations
 import numpy as np
 
 
+def device_metrics_init(num_thresholds: int = 200):
+    """Zeroed ON-DEVICE metric state: AUC histograms + loss accumulator.
+
+    The round-1 design kept per-step loss/preds references on the host and
+    drained them with np.asarray every `metrics_every` steps — on tunnel-
+    attached chips the FIRST device->host readback permanently degrades
+    dispatch ~3.5x (PERF.md readback cliff), so metrics_enabled=True forced
+    every real user into the slow mode. Instead the step now updates this
+    tiny pytree INSIDE the jitted program (ref: metric hooks run off the
+    critical path, metric/metric_hook.py:44); the host reads it back only
+    when results are actually wanted (log prints / end of train), and each
+    drain resets it, which also keeps the f32 bucket counts exact (f32
+    holds integers exactly to 2^24 per bucket per drain interval)."""
+    import jax.numpy as jnp
+    return {"pos": jnp.zeros(num_thresholds, jnp.float32),
+            "neg": jnp.zeros(num_thresholds, jnp.float32),
+            "loss_sum": jnp.zeros((), jnp.float32),
+            "loss_weight": jnp.zeros((), jnp.float32)}
+
+
+def device_metrics_update(state, loss, preds=None, labels=None):
+    """Pure jittable update: bucket preds into the AUC histograms and
+    accumulate loss. `loss` may be a scalar or a [K] block of per-step
+    losses; preds/labels any matching shapes (flattened), or None to
+    accumulate loss only."""
+    import jax.numpy as jnp
+    loss = jnp.asarray(loss)
+    out = dict(state)
+    out["loss_sum"] = state["loss_sum"] + loss.sum().astype(jnp.float32)
+    out["loss_weight"] = state["loss_weight"] + float(max(loss.size, 1))
+    if preds is not None and labels is not None:
+        T = state["pos"].shape[0]
+        p = jnp.clip(preds.reshape(-1).astype(jnp.float32), 0.0, 1.0)
+        y = labels.reshape(-1).astype(jnp.float32)
+        b = jnp.minimum((p * T).astype(jnp.int32), T - 1)
+        out["pos"] = state["pos"].at[b].add(y)
+        out["neg"] = state["neg"].at[b].add(1.0 - y)
+    return out
+
+
 class StreamingAUC:
     """Thresholded ROC-AUC accumulator over minibatches."""
 
@@ -28,6 +68,13 @@ class StreamingAUC:
                              self.num_thresholds - 1)
         np.add.at(self.pos_hist, buckets, labels * w)
         np.add.at(self.neg_hist, buckets, (1.0 - labels) * w)
+
+    def update_histograms(self, pos_hist, neg_hist) -> None:
+        """Fold in already-bucketed counts (the device-metrics drain path)."""
+        pos_hist = np.asarray(pos_hist, np.float64)
+        assert pos_hist.shape == self.pos_hist.shape
+        self.pos_hist += pos_hist
+        self.neg_hist += np.asarray(neg_hist, np.float64)
 
     def result(self) -> float:
         total_pos = self.pos_hist.sum()

@@ -210,7 +210,18 @@ class ShardedTrainer(Trainer):
         out_specs = (state_specs, P(), P(), P(), P(), P(ax), P())
         fn = jax.shard_map(local_step, mesh=self.mesh, in_specs=in_specs,
                            out_specs=out_specs, check_vma=False)
-        return jax.jit(fn, donate_argnums=(0, 1, 2, 3))
+
+        # device-metric accumulation runs OUTSIDE shard_map on the (sharded)
+        # global preds/labels — replicated histogram state, one scatter-add
+        def step_fn(table_states, params, model_state, opt_state, metrics,
+                    inputs, batch, base_key, stepno):
+            ts_, p_, ms_, os_, loss, preds, aux = fn(
+                table_states, params, model_state, opt_state, inputs, batch,
+                base_key, stepno)
+            metrics = self._metrics_step(metrics, loss, preds, batch)
+            return ts_, p_, ms_, os_, metrics, loss, preds, aux
+
+        return jax.jit(step_fn, donate_argnums=(0, 1, 2, 3, 4))
 
     def _build_step_block_sharded(self, K):
         """K sharded steps per dispatch: lax.scan of the per-device step over
@@ -250,7 +261,16 @@ class ShardedTrainer(Trainer):
         out_specs = (state_specs, P(), P(), P(), P(), P(None, ax), P())
         fn = jax.shard_map(local_block, mesh=self.mesh, in_specs=in_specs,
                            out_specs=out_specs, check_vma=False)
-        return jax.jit(fn, donate_argnums=(0, 1, 2, 3))
+
+        def block_fn(table_states, params, model_state, opt_state, metrics,
+                     inputs_k, batch_k, base_key, step0):
+            ts_, p_, ms_, os_, losses, preds, auxes = fn(
+                table_states, params, model_state, opt_state, inputs_k,
+                batch_k, base_key, step0)
+            metrics = self._metrics_step(metrics, losses, preds, batch_k)
+            return ts_, p_, ms_, os_, metrics, losses, preds, auxes
+
+        return jax.jit(block_fn, donate_argnums=(0, 1, 2, 3, 4))
 
     def _block_capable(self) -> bool:
         return True
@@ -282,16 +302,13 @@ class ShardedTrainer(Trainer):
         if self._sharded_block_K != K:
             self._jit_step_block = self._build_step_block_sharded(K)
             self._sharded_block_K = K
+        self._metrics_init()
         (self.table_states, self.params, self.model_state, self.opt_state,
-         losses, preds, auxes) = self._jit_step_block(
+         self._dev_metrics, losses, preds, auxes) = self._jit_step_block(
             self.table_states, self.params, self.model_state, self.opt_state,
-            inputs_k, batch_k, self._base_key, np.int32(self.step))
+            self._dev_metrics, inputs_k, batch_k, self._base_key,
+            np.int32(self.step))
         self.step += K
-        if self.config.metrics_enabled and "label" in pairs[0][1]:
-            labels = np.stack([b["label"] for _, b in pairs])
-            self._pending_metrics.append((losses, preds, labels))
-            if len(self._pending_metrics) >= self.config.metrics_every:
-                self._drain_metrics()
         return {"loss": losses, "preds": preds, "stats": stats,
                 "aux": auxes}
 
@@ -455,16 +472,13 @@ class ShardedTrainer(Trainer):
             self._jit_step = self._build_step()
         if self._base_key is None:
             self._base_key = jax.random.PRNGKey(self.config.seed)
+        self._metrics_init()
         (self.table_states, self.params, self.model_state, self.opt_state,
-         loss, preds, aux
+         self._dev_metrics, loss, preds, aux
          ) = self._jit_step(self.table_states, self.params, self.model_state,
-                            self.opt_state, inputs, batch, self._base_key,
-                            np.int32(self.step))
+                            self.opt_state, self._dev_metrics, inputs, batch,
+                            self._base_key, np.int32(self.step))
         self.step += 1
-        if self.config.metrics_enabled and "label" in batch:
-            self._pending_metrics.append((loss, preds, batch["label"]))
-            if len(self._pending_metrics) >= self.config.metrics_every:
-                self._drain_metrics()
         return {"loss": loss, "preds": preds, "stats": stats, "aux": aux}
 
     def evaluate(self, data, max_steps=None):

@@ -25,7 +25,8 @@ import numpy as np
 import optax
 
 from monolith_tpu.embedding.engine import EmbeddingEngine, EngineConfig
-from monolith_tpu.metrics import StreamingAUC, StreamingMean
+from monolith_tpu.metrics import (StreamingAUC, StreamingMean,
+                                  device_metrics_init, device_metrics_update)
 from monolith_tpu.ops.clip import clip_by_global_norm
 from monolith_tpu.training.task import RecTask
 
@@ -36,8 +37,12 @@ class TrainerConfig:
     clip_norm: float = 0.0          # 0 = no dense grad clipping
     seed: int = 0
     log_every: int = 100
+    # Loss/AUC accumulate ON DEVICE inside the jitted step (tiny histogram
+    # pytree in the carry); the host reads them back only at log prints /
+    # end of train, so enabling metrics costs no per-step readback — on
+    # tunnel-attached chips the first device->host readback permanently
+    # degrades dispatch ~3.5x (PERF.md readback cliff).
     metrics_enabled: bool = True
-    metrics_every: int = 20  # steps between metric syncs (each sync blocks)
     # >1: scan this many steps per device dispatch (train_step_block) —
     # amortizes the fixed dispatch/transfer cost on tunnel/PCIe-attached
     # chips; bit-identical to sequential steps. Requires the fuse_wire path.
@@ -70,7 +75,23 @@ class Trainer:
         self.auc = StreamingAUC()
         self.loss_mean = StreamingMean()
         self._base_key = None
-        self._pending_metrics = []
+        # on-device metric accumulator (see TrainerConfig.metrics_enabled);
+        # None when metrics are off
+        self._dev_metrics = None
+
+    def _metrics_init(self):
+        if self.config.metrics_enabled and self._dev_metrics is None:
+            self._dev_metrics = device_metrics_init(self.auc.num_thresholds)
+
+    def _metrics_step(self, metrics, loss, preds, batch):
+        """In-jit metric accumulation; static no-op when metrics are off
+        (metrics is None). Skips AUC when the task has no scalar preds."""
+        if metrics is None:
+            return None
+        label = batch.get("label") if hasattr(batch, "get") else None
+        if label is not None and not isinstance(preds, dict):
+            return device_metrics_update(metrics, loss, preds, label)
+        return device_metrics_update(metrics, loss)
 
     # ------------------------------------------------------------------
 
@@ -151,15 +172,18 @@ class Trainer:
         engine = self.engine
         core = self._step_core()
 
-        def step_fn(table_states, params, model_state, opt_state, inputs,
-                    batch, base_key, stepno):
+        def step_fn(table_states, params, model_state, opt_state, metrics,
+                    inputs, batch, base_key, stepno):
             if "__wire__" in inputs:
                 bsz = jax.tree.leaves(batch)[0].shape[0]
                 inputs = engine.decode_wire(inputs["__wire__"], bsz)
-            return core(table_states, params, model_state, opt_state, inputs,
-                        batch, base_key, stepno)
+            ts_, p_, ms_, os_, loss, preds, aux = core(
+                table_states, params, model_state, opt_state, inputs,
+                batch, base_key, stepno)
+            metrics = self._metrics_step(metrics, loss, preds, batch)
+            return ts_, p_, ms_, os_, metrics, loss, preds, aux
 
-        return jax.jit(step_fn, donate_argnums=(0, 1, 2, 3))
+        return jax.jit(step_fn, donate_argnums=(0, 1, 2, 3, 4))
 
     @staticmethod
     def _decode_full_wire(engine, wire, layout, engine_words):
@@ -188,14 +212,17 @@ class Trainer:
         engine = self.engine
         core = self._step_core()
 
-        def step_fn(table_states, params, model_state, opt_state, wire,
-                    base_key):
+        def step_fn(table_states, params, model_state, opt_state, metrics,
+                    wire, base_key):
             inputs, batch, stepno = Trainer._decode_full_wire(
                 engine, wire, layout, engine_words)
-            return core(table_states, params, model_state, opt_state, inputs,
-                        batch, base_key, stepno)
+            ts_, p_, ms_, os_, loss, preds, aux = core(
+                table_states, params, model_state, opt_state, inputs,
+                batch, base_key, stepno)
+            metrics = self._metrics_step(metrics, loss, preds, batch)
+            return ts_, p_, ms_, os_, metrics, loss, preds, aux
 
-        return jax.jit(step_fn, donate_argnums=(0, 1, 2, 3))
+        return jax.jit(step_fn, donate_argnums=(0, 1, 2, 3, 4))
 
     def _full_wire_words(self, layout):
         return (self.engine.wire_words(layout[0][2][0])
@@ -229,21 +256,22 @@ class Trainer:
         engine = self.engine
         core = self._step_core()
 
-        def block_fn(table_states, params, model_state, opt_state, wires,
-                     base_key):
+        def block_fn(table_states, params, model_state, opt_state, metrics,
+                     wires, base_key):
             def body(carry, wire):
-                ts_, p_, ms_, os_ = carry
+                ts_, p_, ms_, os_, m_ = carry
                 inputs, batch, stepno = Trainer._decode_full_wire(
                     engine, wire, layout, engine_words)
                 ts_, p_, ms_, os_, loss, preds, aux = core(
                     ts_, p_, ms_, os_, inputs, batch, base_key, stepno)
-                return (ts_, p_, ms_, os_), (loss, preds, aux)
-            carry = (table_states, params, model_state, opt_state)
-            (ts_, p_, ms_, os_), (losses, preds, auxes) = jax.lax.scan(
-                body, carry, wires)
-            return ts_, p_, ms_, os_, losses, preds, auxes
+                m_ = self._metrics_step(m_, loss, preds, batch)
+                return (ts_, p_, ms_, os_, m_), (loss, preds, aux)
+            carry = (table_states, params, model_state, opt_state, metrics)
+            (ts_, p_, ms_, os_, metrics), (losses, preds, auxes) = \
+                jax.lax.scan(body, carry, wires)
+            return ts_, p_, ms_, os_, metrics, losses, preds, auxes
 
-        return jax.jit(block_fn, donate_argnums=(0, 1, 2, 3))
+        return jax.jit(block_fn, donate_argnums=(0, 1, 2, 3, 4))
 
     def train_step_block(self, pairs, ts: Optional[int] = None) -> Dict:
         """Run len(pairs) training steps in ONE device dispatch (see
@@ -268,16 +296,12 @@ class Trainer:
             _, st = self._pack_full_wire(fid_batch, batch, layout, ts,
                                          self.step + i, out=wires[i])
             stats.append(st)
+        self._metrics_init()
         (self.table_states, self.params, self.model_state, self.opt_state,
-         losses, preds, auxes) = self._jit_step_block(
+         self._dev_metrics, losses, preds, auxes) = self._jit_step_block(
             self.table_states, self.params, self.model_state, self.opt_state,
-            wires, self._base_key)
+            self._dev_metrics, wires, self._base_key)
         self.step += K
-        if self.config.metrics_enabled and "label" in pairs[0][1]:
-            labels = np.stack([b["label"] for _, b in pairs])
-            self._pending_metrics.append((losses, preds, labels))
-            if len(self._pending_metrics) >= self.config.metrics_every:
-                self._drain_metrics()
         return {"loss": losses, "preds": preds, "stats": stats,
                 "aux": auxes}
 
@@ -354,11 +378,12 @@ class Trainer:
                 self._full_layout = layout
             wire, stats = self._pack_full_wire(fid_batch, batch, layout, ts,
                                                self.step)
+            self._metrics_init()
             (self.table_states, self.params, self.model_state, self.opt_state,
-             loss, preds, aux
+             self._dev_metrics, loss, preds, aux
              ) = self._jit_step_full(self.table_states, self.params,
-                                     self.model_state, self.opt_state, wire,
-                                     self._base_key)
+                                     self.model_state, self.opt_state,
+                                     self._dev_metrics, wire, self._base_key)
         else:
             inputs, stats = self.engine.prepare_batch(fid_batch, ts=ts)
             self._maybe_init(inputs, batch)
@@ -366,20 +391,18 @@ class Trainer:
                 inputs = {"__wire__": self.engine.pack_wire(inputs)}
             if self._jit_step is None:
                 self._jit_step = self._build_step()
-            # exactly ONE device dispatch per step: the key fold happens
-            # inside the jitted program, batch/inputs are numpy (transferred
-            # as call args), and metric syncs are deferred — small host-side
-            # ops each cost a full dispatch round trip on remote TPUs.
+            self._metrics_init()
+            # exactly ONE device dispatch per step: the key fold and metric
+            # accumulation happen inside the jitted program, batch/inputs are
+            # numpy (transferred as call args) — small host-side ops each
+            # cost a full dispatch round trip on remote TPUs.
             (self.table_states, self.params, self.model_state, self.opt_state,
-             loss, preds, aux
+             self._dev_metrics, loss, preds, aux
              ) = self._jit_step(self.table_states, self.params,
-                                self.model_state, self.opt_state, inputs,
-                                batch, self._base_key, np.int32(self.step))
+                                self.model_state, self.opt_state,
+                                self._dev_metrics, inputs, batch,
+                                self._base_key, np.int32(self.step))
         self.step += 1
-        if self.config.metrics_enabled and "label" in batch:
-            self._pending_metrics.append((loss, preds, batch["label"]))
-            if len(self._pending_metrics) >= self.config.metrics_every:
-                self._drain_metrics()
         return {"loss": loss, "preds": preds, "stats": stats, "aux": aux}
 
     def spill_expired(self, expire_before: int) -> Dict[str, int]:
@@ -405,12 +428,17 @@ class Trainer:
         return out
 
     def _drain_metrics(self):
-        for loss, preds, labels in self._pending_metrics:
-            # block mode stacks K steps: preds/labels [K, B], loss [K]
-            self.auc.update(np.asarray(preds).ravel(), np.asarray(labels).ravel())
-            loss = np.asarray(loss)
-            self.loss_mean.update(float(loss.mean()), weight=loss.size)
-        self._pending_metrics = []
+        """Read back and reset the on-device metric accumulator. This is the
+        ONLY metric readback; it runs at log prints and end-of-train, never
+        per step (PERF.md readback cliff)."""
+        if self._dev_metrics is None:
+            return
+        m = jax.device_get(self._dev_metrics)
+        self.auc.update_histograms(m["pos"], m["neg"])
+        w = float(m["loss_weight"])
+        if w > 0:
+            self.loss_mean.update(float(m["loss_sum"]) / w, weight=w)
+        self._dev_metrics = device_metrics_init(self.auc.num_thresholds)
 
     def evaluate(self, data: Iterator, max_steps: Optional[int] = None) -> Dict[str, float]:
         """data yields (fid_batch, batch). Returns {"auc":…, "loss":…}."""

@@ -181,3 +181,49 @@ class TestCheckpoint:
         import json, os
         with open(os.path.join(str(tmp_path), "ckpt-5", "meta.json")) as f:
             assert json.load(f)["dense_only"]
+
+
+class TestDeviceMetrics:
+    """metrics_enabled must accumulate loss/AUC ON DEVICE (no per-step
+    host readback) and match host-side metric computation on drain."""
+
+    def test_device_metrics_match_host(self):
+        from monolith_tpu.data.synthetic import SyntheticCTR
+        from monolith_tpu.metrics import StreamingAUC, StreamingMean
+        from monolith_tpu.models.deepfm import DeepFMTask
+        from monolith_tpu.training.trainer import Trainer, TrainerConfig
+
+        task = DeepFMTask(embedding_dim=8, capacity_per_shard=2048,
+                          hidden=(16,))
+        tr = Trainer(task, TrainerConfig(log_every=0, metrics_enabled=True,
+                                         seed=3))
+        data = SyntheticCTR(num_users=50, num_items=30, batch_size=64, seed=3)
+        ref_auc, ref_loss = StreamingAUC(), StreamingMean()
+        it = iter(data)
+        for _ in range(10):
+            fb, b = next(it)
+            out = tr.train_step(fb, b)
+            ref_auc.update(np.asarray(out["preds"]), b["label"])
+            ref_loss.update(float(out["loss"]))
+        tr._drain_metrics()
+        assert abs(tr.auc.result() - ref_auc.result()) < 1e-3
+        assert abs(tr.loss_mean.result() - ref_loss.result()) < 1e-5
+        # drain resets the device state: second drain adds nothing
+        a = tr.auc.result()
+        tr._drain_metrics()
+        assert tr.auc.result() == a
+
+    def test_block_mode_metrics(self):
+        from monolith_tpu.data.synthetic import SyntheticCTR
+        from monolith_tpu.models.deepfm import DeepFMTask
+        from monolith_tpu.training.trainer import Trainer, TrainerConfig
+
+        task = DeepFMTask(embedding_dim=8, capacity_per_shard=2048,
+                          hidden=(16,), init_scale=0.0)
+        tr = Trainer(task, TrainerConfig(log_every=0, metrics_enabled=True,
+                                         steps_per_dispatch=4, seed=5))
+        data = SyntheticCTR(num_users=50, num_items=30, batch_size=64, seed=5)
+        res = tr.train(iter(data), steps=9)
+        assert 0.0 < res["auc"] < 1.0
+        assert res["loss"] > 0
+        assert tr.loss_mean.count == 9  # every step counted exactly once
