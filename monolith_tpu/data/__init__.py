@@ -6,5 +6,6 @@ from monolith_tpu.data.datasets import (BatchedDataset, FileSource, KafkaSource,
                                         ParquetSource, QueueSource, merge_flow,
                                         split_flow)
 from monolith_tpu.data.item_pool import ItemPool, negative_gen
+from monolith_tpu.data import pb_compat
 from monolith_tpu.data.feature_list import Feature, FeatureList
 from monolith_tpu.data import transforms

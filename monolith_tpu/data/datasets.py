@@ -35,7 +35,11 @@ class FileSource:
     makes the next iteration resume from that position."""
 
     def __init__(self, patterns: Sequence[str], has_sort_id: bool = False,
-                 repeat: bool = False):
+                 repeat: bool = False, fmt: str = "mtex"):
+        """`fmt` selects the record payload codec: "mtex" (native) or the
+        reference protobuf formats "pb_instance" / "pb_example" /
+        "pb_example_batch" (framing.payload_decoder) — existing monolith
+        datasets ingest without conversion."""
         if isinstance(patterns, str):
             patterns = [patterns]
         self.paths: List[str] = []
@@ -43,6 +47,7 @@ class FileSource:
             self.paths.extend(sorted(glob_lib.glob(p)) or [p])
         self.has_sort_id = has_sort_id
         self.repeat = repeat
+        self.fmt = fmt
         self._pos = {"epoch": 0, "file_idx": 0, "record_idx": 0}
 
     def state(self) -> Dict[str, int]:
@@ -60,7 +65,8 @@ class FileSource:
                 self._pos.update(file_idx=fi, epoch=epoch)
                 rec = 0
                 for ex in read_example_file(self.paths[fi],
-                                            has_sort_id=self.has_sort_id):
+                                            has_sort_id=self.has_sort_id,
+                                            fmt=self.fmt):
                     if skip > 0:
                         skip -= 1
                         rec += 1

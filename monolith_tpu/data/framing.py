@@ -89,9 +89,30 @@ def write_example_file(path: str, examples, has_sort_id: bool = False) -> int:
     return n
 
 
-def read_example_file(path: str, has_sort_id: bool = False):
-    """Yield Examples from a framed file."""
+def payload_decoder(fmt: str = "mtex"):
+    """Record-payload decoder: bytes -> list[Example].
+
+    Formats: "mtex" (this framework's native codec), and the reference's
+    protobuf wire formats "pb_instance" / "pb_example" / "pb_example_batch"
+    (idl/matrix/proto; see data/pb_compat.py) so existing monolith datasets
+    and Kafka topics stream straight in."""
     from monolith_tpu.data.example import Example
+    if fmt == "mtex":
+        return lambda b: [Example.from_bytes(b)]
+    from monolith_tpu.data import pb_compat
+    if fmt == "pb_instance":
+        return lambda b: [pb_compat.parse_instance(b)]
+    if fmt == "pb_example":
+        return lambda b: [pb_compat.parse_example(b)]
+    if fmt == "pb_example_batch":
+        return pb_compat.parse_example_batch
+    raise ValueError(f"unknown payload format {fmt!r}")
+
+
+def read_example_file(path: str, has_sort_id: bool = False,
+                      fmt: str = "mtex"):
+    """Yield Examples from a framed file (see payload_decoder for formats)."""
+    decode = payload_decoder(fmt)
     with open(path, "rb") as f:
         for _, payload in RecordReader(f, has_sort_id=has_sort_id):
-            yield Example.from_bytes(payload)
+            yield from decode(payload)
