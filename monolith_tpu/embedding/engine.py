@@ -74,6 +74,11 @@ class EngineConfig:
     # "auto" = on when every table is f32; "off" forces the legacy
     # structure-of-arrays path.
     packed: str = "auto"  # auto | off
+    # Multi-process runs: the global shard indices THIS process owns (its
+    # local devices' table shards). None = all shards (single process). A
+    # process only allocates host stores for its own shards — a v5e host
+    # with 4 of 256 chips must not hold 256 shard maps.
+    local_shards: Optional[Tuple[int, ...]] = None
 
     @property
     def effective_bucket_cap(self) -> int:
@@ -115,6 +120,8 @@ class EmbeddingEngine:
         self.stores: Dict[str, List[HostStore]] = {}
         self.batchers: Dict[str, Batcher] = {}
         self.batchers2d: Dict[str, Batcher2D] = {}
+        local = (set(config.local_shards)
+                 if config.local_shards is not None else None)
         for name, t in self.tables.items():
             kind = _FILTER_KINDS[t.admission.kind]
             self.stores[name] = [
@@ -124,6 +131,7 @@ class EmbeddingEngine:
                           filter_capacity=t.admission.filter_capacity,
                           filter_splits=t.admission.filter_splits,
                           seed=seed * 1000003 + s)
+                if (local is None or s in local) else None
                 for s in range(S)]
             self.batchers[name] = Batcher(expected_unique=config.unique_cap * S)
             self.batchers2d[name] = Batcher2D(expected_unique=config.unique_cap * S)
@@ -370,6 +378,8 @@ class EmbeddingEngine:
                 continue
             freed = []
             for s, store in enumerate(self.stores[tname]):
+                if store is None:  # not a local shard (multi-process runs)
+                    continue
                 rows = store.evict_expired(expire_before)
                 freed.append(rows.astype(np.int64) + s * t.capacity_per_shard)
             out[tname] = np.concatenate(freed) if freed else np.empty(0, np.int64)

@@ -306,6 +306,227 @@ def _restore_resharded(trainer, tname, spec, path, old_shards: int,
     trainer.table_states[tname] = _place_like_trainer(trainer, new_state)
 
 
+def _shard_data(arr, s: int) -> np.ndarray:
+    """Shard s of a globally-sharded array (leading axis = shard axis);
+    only valid for shards addressable from this process."""
+    for sh in arr.addressable_shards:
+        idx0 = sh.index[0]
+        start = idx0.start if idx0.start is not None else 0
+        if start == s:
+            return np.asarray(sh.data)[0]
+    raise ValueError(f"shard {s} is not addressable from this process")
+
+
+def save_distributed(trainer, directory: str,
+                     evict_before_save: bool = False) -> str:
+    """Multi-process checkpoint save for MultiHostTrainer: each process
+    writes ONLY its own table shards (per-shard files in the same layout as
+    `save`, so single-host `restore` / `_restore_resharded` can read them);
+    process 0 writes the dense state and metadata. All processes
+    barrier-sync before the CHECKPOINT pointer lands, so a checkpoint is
+    never observable half-written.
+
+    Reference equivalent: hash tables are saved outside the TF ckpt as
+    per-table sharded dumps by each worker's saver listener
+    (hash_table_ops.py:591, save_utils.py:512)."""
+    from jax.experimental import multihost_utils
+
+    step = trainer.step
+    path = os.path.join(directory, f"ckpt-{step}")
+    os.makedirs(_tables_dir(path), exist_ok=True)
+    os.makedirs(os.path.join(path, "filters"), exist_ok=True)
+    proc0 = jax.process_index() == 0
+
+    if evict_before_save:
+        now = int(time.time())
+        for tname, spec in trainer.engine.tables.items():
+            if spec.eviction.ttl_seconds > 0:
+                trainer.engine.evict_expired(now - spec.eviction.ttl_seconds)
+
+    if proc0 and trainer.params is not None:
+        with open(os.path.join(path, "dense.msgpack"), "wb") as f:
+            f.write(serialization.to_bytes(jax.device_get(trainer.params)))
+        with open(os.path.join(path, "opt_state.msgpack"), "wb") as f:
+            f.write(serialization.to_bytes(jax.device_get(trainer.opt_state)))
+        if getattr(trainer, "model_state", None):
+            with open(os.path.join(path, "model_state.msgpack"), "wb") as f:
+                f.write(serialization.to_bytes(
+                    jax.device_get(trainer.model_state)))
+
+    meta = {"step": step, "ts": int(time.time()), "dense_only": False,
+            "tables": {}}
+    for tname, spec in trainer.engine.tables.items():
+        state = trainer.table_states[tname]
+        num_shards = jax.tree.leaves(state)[0].shape[0]
+        meta["tables"][tname] = {"shards": num_shards, "dim": spec.dim}
+        for s in trainer.local_device_ids:
+            store = trainer.engine.stores[tname][s]
+            fids, rows, tss, counts = store.save()
+            shard = jax.tree.map(lambda x: _shard_data(x, s), state)
+            arrays = {"pool": table_lib.params_np(spec, shard),
+                      "fids": fids, "rows": rows, "tss": tss,
+                      "counts": counts}
+            for name, arr in table_lib.slot_items_np(spec, shard):
+                arrays["slot:" + name] = arr
+            np.savez(os.path.join(_tables_dir(path), f"{tname}-s{s}.npz"),
+                     **arrays)
+            blob = store.filter_save()
+            if blob:
+                with open(os.path.join(path, "filters",
+                                       f"{tname}-s{s}.bin"), "wb") as f:
+                    f.write(blob)
+
+    multihost_utils.sync_global_devices(f"mt_ckpt_save_{step}")
+    if proc0:
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f)
+        with open(os.path.join(directory, "CHECKPOINT"), "w") as f:
+            f.write(str(step))
+    multihost_utils.sync_global_devices(f"mt_ckpt_done_{step}")
+    return path
+
+
+def restore_distributed(trainer, directory: str,
+                        step: Optional[int] = None) -> int:
+    """Multi-process restore for MultiHostTrainer: each process restores
+    ONLY its local shards. Works from checkpoints written by
+    `save_distributed` OR single-host `save` (same layout), at the same or
+    a DIFFERENT shard count — when counts differ, every entry is re-routed
+    to shard_of(fid, new_shards) (this process keeps only entries routed to
+    its local shards)."""
+    import jax.numpy as jnp  # noqa: F401
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from monolith_tpu.embedding.host_store import shard_of_batch
+
+    if step is None:
+        step = latest_step(directory)
+        if step is None:
+            raise FileNotFoundError(f"no CHECKPOINT in {directory}")
+    path = os.path.join(directory, f"ckpt-{step}")
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+
+    dense_path = os.path.join(path, "dense.msgpack")
+    if os.path.exists(dense_path):
+        if trainer.params is None:
+            raise ValueError("dense params must be initialized before "
+                             "restore (run one train_step first)")
+        with open(dense_path, "rb") as f:
+            trainer.params = serialization.from_bytes(trainer.params, f.read())
+        with open(os.path.join(path, "opt_state.msgpack"), "rb") as f:
+            trainer.opt_state = serialization.from_bytes(trainer.opt_state,
+                                                         f.read())
+        ms_path = os.path.join(path, "model_state.msgpack")
+        if os.path.exists(ms_path) and getattr(trainer, "model_state", None):
+            with open(ms_path, "rb") as f:
+                trainer.model_state = serialization.from_bytes(
+                    trainer.model_state, f.read())
+
+    new_shards = trainer.num_devices
+    shard = NamedSharding(trainer.mesh, P(trainer.axis))
+    for tname, tmeta in meta["tables"].items():
+        spec = trainer.engine.tables[tname]
+        old_shards = tmeta["shards"]
+        cap = spec.capacity_per_shard
+        local_states = {}  # s -> {"pool": [cap, dim], "slot:...": ...}
+        if old_shards == new_shards:
+            for s in trainer.local_device_ids:
+                z = np.load(os.path.join(_tables_dir(path),
+                                         f"{tname}-s{s}.npz"))
+                store = trainer.engine.stores[tname][s]
+                store.restore(z["fids"], z["rows"], z["tss"], z["counts"])
+                fpath = os.path.join(path, "filters", f"{tname}-s{s}.bin")
+                if os.path.exists(fpath):
+                    with open(fpath, "rb") as f:
+                        store.filter_restore(f.read())
+                local_states[s] = {k: z[k] for k in z.files}
+        else:
+            # reshard: route every old entry to its new shard; keep local
+            fids_l, tss_l, counts_l, vals_l = [], [], [], []
+            slots_l = {}
+            for so in range(old_shards):
+                z = np.load(os.path.join(_tables_dir(path),
+                                         f"{tname}-s{so}.npz"))
+                fids, rows = z["fids"], z["rows"]
+                fids_l.append(fids)
+                tss_l.append(z["tss"])
+                counts_l.append(z["counts"])
+                vals_l.append(z["pool"][rows] if len(rows)
+                              else z["pool"][:0])
+                for k in z.files:
+                    if k.startswith("slot:"):
+                        arr = z[k]
+                        slots_l.setdefault(k, []).append(
+                            arr[rows] if len(rows) else arr[:0])
+            fids = np.concatenate(fids_l) if fids_l else np.empty(0, np.int64)
+            tss = np.concatenate(tss_l) if tss_l else np.empty(0, np.uint32)
+            counts = (np.concatenate(counts_l) if counts_l
+                      else np.empty(0, np.uint32))
+            values = (np.concatenate(vals_l) if vals_l
+                      else np.empty((0, spec.dim), np.float32))
+            slots_cat = {k: np.concatenate(v) for k, v in slots_l.items()}
+            dest = shard_of_batch(fids, new_shards)
+            for s in trainer.local_device_ids:
+                sel = dest == s
+                n = int(sel.sum())
+                if n > cap:
+                    raise ValueError(
+                        f"resharding table '{tname}' {old_shards}->"
+                        f"{new_shards}: shard {s} needs {n} rows but "
+                        f"capacity_per_shard is {cap}")
+                rows = np.arange(n, dtype=np.int32)
+                store = trainer.engine.stores[tname][s]
+                store.restore(fids[sel], rows, tss[sel], counts[sel])
+                pool = np.zeros((cap, spec.dim), np.float32)
+                pool[:n] = values[sel]
+                st = {"pool": pool, "fids": fids[sel], "rows": rows,
+                      "tss": tss[sel], "counts": counts[sel]}
+                for k, v in slots_cat.items():
+                    arr = np.zeros((cap,) + v.shape[1:], v.dtype)
+                    # untouched rows keep slot init values
+                    _fill_slot_init(spec, k[5:], arr)
+                    arr[:n] = v[sel]
+                    st[k] = arr
+                local_states[s] = st
+
+        # build the global device state from the local shard arrays
+        packed = trainer.engine.packed
+        example = next(iter(local_states.values()))
+        single = table_lib.state_from_np(
+            spec, example["pool"][None],
+            {k[5:]: example[k][None] for k in example if k.startswith("slot:")},
+            packed=packed)
+
+        def make_leaf(path_key, leaf0):
+            def getter(s):
+                st = local_states[s]
+                sh = table_lib.state_from_np(
+                    spec, st["pool"][None],
+                    {k[5:]: st[k][None] for k in st
+                     if k.startswith("slot:")}, packed=packed)
+                return np.asarray(jax.tree.leaves(sh)[path_key])[0]
+            return jax.make_array_from_callback(
+                (new_shards,) + leaf0.shape[1:], shard,
+                lambda idx: getter(idx[0].start or 0)[None])
+
+        leaves0, treedef = jax.tree.flatten(single)
+        new_leaves = [make_leaf(i, leaf0) for i, leaf0 in enumerate(leaves0)]
+        trainer.table_states[tname] = jax.tree.unflatten(treedef, new_leaves)
+
+    trainer.step = meta["step"]
+    return meta["step"]
+
+
+def _fill_slot_init(spec, slot_key: str, arr: np.ndarray) -> None:
+    """Fill a slot array with its optimizer init value ('seg{i}/{name}')."""
+    seg_idx, name = slot_key.split("/", 1)
+    seg = spec.segments[int(seg_idx[3:])]
+    init_value = seg.optimizer.slot_spec(seg.dim)[name][1]
+    if init_value != 0.0:
+        arr[:] = init_value
+
+
 def _place_like_trainer(trainer, state):
     """Shard restored pools over the trainer's mesh (no-op single device)."""
     mesh = getattr(trainer, "mesh", None)

@@ -59,7 +59,7 @@ class Trainer:
                                       config.engine, seed=config.seed)
         self.module = task.build_module()
         self.tx = task.dense_optimizer()
-        self.table_states = self.engine.create_states()
+        self.table_states = self._create_table_states()
         self.params = None
         self.model_state = {}  # non-param flax collections (batch_stats, ...)
         self.opt_state = None
@@ -94,6 +94,11 @@ class Trainer:
         return device_metrics_update(metrics, loss)
 
     # ------------------------------------------------------------------
+
+    def _create_table_states(self):
+        """Allocate device table state; multi-process trainers override to
+        build globally-sharded arrays without materializing remote shards."""
+        return self.engine.create_states()
 
     def _maybe_init(self, inputs, batch):
         if self.params is not None:

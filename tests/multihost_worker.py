@@ -1,17 +1,44 @@
-"""Worker binary for the multi-host training test (ref
+"""Worker binary for the multi-host training tests (ref
 cpu_training_distributed_test_binary.py): one JAX process per invocation,
-gloo CPU collectives, MultiHostTrainer over the global mesh."""
+gloo CPU collectives, each process driving SEVERAL local virtual devices
+(mirroring a v5e host with 4 chips) under MultiHostTrainer.
+
+Modes:
+  train:   train `steps` steps (singles then one K=4 block), save a
+           distributed checkpoint, print per-shard sizes/checksums.
+  restore: restore the distributed checkpoint (same topology), verify the
+           host maps and pools match, train 2 more steps.
+"""
 
 import os
 import sys
+
+
+def checksum(trainer, tname="sparse"):
+    """Per-local-shard (store_size, pool_sum) fingerprints."""
+    import numpy as np
+    from monolith_tpu.training.checkpoint import _shard_data
+    out = []
+    state = trainer.table_states[tname]
+    for s in trainer.local_device_ids:
+        store = trainer.engine.stores[tname][s]
+        leaf = list(state.values())[0]
+        data = _shard_data(leaf, s)
+        out.append((store.size(), float(np.abs(np.asarray(data)).sum())))
+    return out
 
 
 def main():
     pid = int(sys.argv[1])
     nproc = int(sys.argv[2])
     port = sys.argv[3]
-    steps = int(sys.argv[4]) if len(sys.argv) > 4 else 20
+    steps = int(sys.argv[4])
+    local_devices = int(sys.argv[5])
+    mode = sys.argv[6]
+    ckpt_dir = sys.argv[7]
 
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={local_devices}")
     import jax
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_cpu_collectives_implementation", "gloo")
@@ -23,29 +50,66 @@ def main():
     from monolith_tpu.embedding.engine import EngineConfig
     from monolith_tpu.models.deepfm import DeepFMTask
     from monolith_tpu.parallel.multihost import MultiHostTrainer
+    from monolith_tpu.training import checkpoint
     from monolith_tpu.training.trainer import TrainerConfig
 
-    task = DeepFMTask(embedding_dim=8, capacity_per_shard=4096, hidden=(16, 8))
-    cfg = TrainerConfig(engine=EngineConfig(num_shards=nproc, unique_cap=512,
-                                            new_cap=512, bucket_cap=256),
-                        log_every=0, metrics_enabled=False)
+    S = nproc * local_devices
+    task = DeepFMTask(embedding_dim=8, capacity_per_shard=4096,
+                      hidden=(16, 8), init_scale=0.0)
+    cfg = TrainerConfig(engine=EngineConfig(num_shards=S, unique_cap=512,
+                                            new_cap=512, bucket_cap=128),
+                        log_every=0, metrics_enabled=True)
     trainer = MultiHostTrainer(task, cfg)
+    assert trainer.local_device_ids == list(
+        range(pid * local_devices, (pid + 1) * local_devices))
 
     # ONE logical stream sharded across processes: all processes share the
     # generator (same ground truth); each consumes its own interleaved slice
     data = SyntheticCTR(num_users=100, num_items=60, batch_size=64, seed=1000)
     it = iter(data)
-    losses = []
-    for i in range(steps):
+
+    def next_local():
         batches = [next(it) for _ in range(nproc)]
-        fb, b = batches[pid]
-        out = trainer.train_step(fb, b, ts=i)
-        losses.append(float(np.asarray(out["loss"])))
-    sizes = {t: [s.size() for s in stores]
-             for t, stores in trainer.engine.stores.items()}
-    print(f"RESULT {pid} first={np.mean(losses[:5]):.5f} "
-          f"last={np.mean(losses[-5:]):.5f} "
-          f"local_store_sizes={sizes['sparse']}", flush=True)
+        return batches[pid]
+
+    losses = []
+    if mode == "train":
+        K = 4
+        single = steps - K if steps > K else steps
+        for i in range(single):
+            fb, b = next_local()
+            out = trainer.train_step(fb, b, ts=i)
+            losses.append(float(np.asarray(out["loss"])))
+        if steps > K:
+            pairs = [next_local() for _ in range(K)]
+            out = trainer.train_step_block(pairs, ts=single)
+            losses.extend(np.asarray(out["loss"]).tolist())
+        trainer._drain_metrics()
+        checkpoint.save_distributed(trainer, ckpt_dir)
+        sizes = [c[0] for c in checksum(trainer)]
+        sums = [round(c[1], 3) for c in checksum(trainer)]
+        print(f"RESULT {pid} first={np.mean(losses[:3]):.5f} "
+              f"last={np.mean(losses[-3:]):.5f} "
+              f"auc={trainer.auc.result():.4f} "
+              f"sizes={sizes} sums={sums}", flush=True)
+    elif mode == "restore":
+        # one warmup step initializes dense params (required before restore)
+        fb, b = next_local()
+        trainer.train_step(fb, b, ts=0)
+        step = checkpoint.restore_distributed(trainer, ckpt_dir)
+        sizes = [c[0] for c in checksum(trainer)]
+        sums = [round(c[1], 3) for c in checksum(trainer)]
+        # training continues from the restored state
+        post = []
+        for i in range(2):
+            fb, b = next_local()
+            out = trainer.train_step(fb, b, ts=100 + i)
+            post.append(float(np.asarray(out["loss"])))
+        assert all(np.isfinite(post)), post
+        print(f"RESULT {pid} step={step} sizes={sizes} sums={sums} "
+              f"post={np.mean(post):.5f}", flush=True)
+    else:
+        raise ValueError(mode)
 
 
 if __name__ == "__main__":

@@ -1,17 +1,23 @@
-"""Multi-process (multi-host) training test.
+"""Multi-process (multi-host) training tests.
 
 Mirrors the reference's clusterless distributed tests
-(cpu_training_distributed_test_binary.py + estimator_dist_test.py): spawn one
-JAX process per "host" with gloo CPU collectives and run MultiHostTrainer —
-fid a2a to owners, host-map io_callback, embedding a2a, grad a2a.
+(cpu_training_distributed_test_binary.py + estimator_dist_test.py): spawn
+one JAX process per "host", each driving 4 local virtual devices (the v5e
+4-chips/host topology), with gloo CPU collectives. Covers: training with
+the 3-a2a step, the K-steps-per-dispatch block path, distributed
+checkpoint save -> restore at the SAME topology, restore at a DIFFERENT
+shard count (8 -> 4 reshard through the single-host path), and loss parity
+against ShardedTrainer on the same stream.
 """
 
+import ast
 import os
 import re
 import socket
 import subprocess
 import sys
 
+import numpy as np
 import pytest
 
 
@@ -23,30 +29,143 @@ def _free_port() -> int:
     return port
 
 
-@pytest.mark.timeout(600)
-def test_two_process_training():
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(ROOT, "tests", "multihost_worker.py")
+
+
+def run_workers(nproc, steps, local_devices, mode, ckpt_dir):
     port = _free_port()
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env = dict(os.environ, PYTHONPATH=root)
+    env = dict(os.environ, PYTHONPATH=ROOT)
     env.pop("XLA_FLAGS", None)  # workers manage their own device config
-    worker = os.path.join(root, "tests", "multihost_worker.py")
     procs = [subprocess.Popen(
-        [sys.executable, worker, str(pid), "2", str(port), "30"],
+        [sys.executable, WORKER, str(pid), str(nproc), str(port), str(steps),
+         str(local_devices), mode, ckpt_dir],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
-        for pid in range(2)]
+        for pid in range(nproc)]
     outs = [p.communicate(timeout=550)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+    return outs
+
+
+def parse_results(outs, pattern):
     results = {}
     for out in outs:
-        m = re.search(r"RESULT (\d) first=([\d.]+) last=([\d.]+) "
-                      r"local_store_sizes=\[(\d+), (\d+)\]", out)
+        m = re.search(pattern, out)
         assert m, f"worker output missing RESULT line:\n{out[-2000:]}"
-        pid = int(m.group(1))
-        results[pid] = (float(m.group(2)), float(m.group(3)),
-                        int(m.group(4)), int(m.group(5)))
-    # pmean'd losses must agree across processes and decrease
-    assert abs(results[0][0] - results[1][0]) < 1e-6
-    assert abs(results[0][1] - results[1][1]) < 1e-6
-    assert results[0][1] < results[0][0]
-    # shard ownership: process p's host map holds only shard p's ids
-    assert results[0][2] > 0 and results[0][3] == 0
-    assert results[1][2] == 0 and results[1][3] > 0
+        results[int(m.group(1))] = m
+    return results
+
+
+@pytest.mark.timeout(600)
+def test_two_process_four_device_training(tmp_path):
+    """2 processes x 4 devices = 8 shards: train (singles + block), save a
+    distributed checkpoint, verify shard ownership and loss agreement."""
+    outs = run_workers(2, 8, 4, "train", str(tmp_path))
+    pat = (r"RESULT (\d) first=([\d.]+) last=([\d.]+) auc=([\d.]+) "
+           r"sizes=(\[[^\]]*\]) sums=(\[[^\]]*\])")
+    res = parse_results(outs, pat)
+    first = {p: float(m.group(2)) for p, m in res.items()}
+    last = {p: float(m.group(3)) for p, m in res.items()}
+    sizes = {p: ast.literal_eval(m.group(5)) for p, m in res.items()}
+    # pmean'd losses agree across processes and decrease
+    assert abs(first[0] - first[1]) < 1e-6
+    assert abs(last[0] - last[1]) < 1e-6
+    assert last[0] < first[0]
+    # each process owns 4 shards and trained ids landed in all of them
+    assert len(sizes[0]) == 4 and len(sizes[1]) == 4
+    assert all(s > 0 for s in sizes[0] + sizes[1])
+    # checkpoint files: one per (table, shard), written by the owning process
+    files = sorted(os.listdir(os.path.join(tmp_path, f"ckpt-8", "tables")))
+    assert files == [f"sparse-s{s}.npz" for s in range(8)]
+
+    # same topology restore: sizes and pool checksums must match exactly
+    outs2 = run_workers(2, 0, 4, "restore", str(tmp_path))
+    pat2 = (r"RESULT (\d) step=(\d+) sizes=(\[[^\]]*\]) sums=(\[[^\]]*\]) "
+            r"post=([\d.]+)")
+    res2 = parse_results(outs2, pat2)
+    for p in (0, 1):
+        assert int(res2[p].group(2)) == 8
+        assert ast.literal_eval(res2[p].group(3)) == sizes[p]
+        np.testing.assert_allclose(
+            ast.literal_eval(res2[p].group(4)),
+            ast.literal_eval(res[p].group(6)), rtol=1e-6)
+
+
+@pytest.mark.timeout(600)
+def test_multihost_ckpt_reshards_to_single_process(tmp_path):
+    """A distributed checkpoint written by 2 processes restores into a
+    single-process trainer at HALF the shard count (8 -> 4 reshard) with
+    every entry preserved."""
+    outs = run_workers(2, 4, 4, "train", str(tmp_path))
+    pat = (r"RESULT (\d) first=([\d.]+) last=([\d.]+) auc=([\d.]+) "
+           r"sizes=(\[[^\]]*\]) sums=(\[[^\]]*\])")
+    res = parse_results(outs, pat)
+    total_saved = sum(sum(ast.literal_eval(m.group(5)))
+                      for m in res.values())
+
+    import jax
+    from monolith_tpu.data.synthetic import SyntheticCTR
+    from monolith_tpu.embedding.engine import EngineConfig
+    from monolith_tpu.models.deepfm import DeepFMTask
+    from monolith_tpu.parallel.mesh import make_mesh
+    from monolith_tpu.parallel.sharded import ShardedTrainer
+    from monolith_tpu.training import checkpoint
+    from monolith_tpu.training.trainer import TrainerConfig
+
+    task = DeepFMTask(embedding_dim=8, capacity_per_shard=4096,
+                      hidden=(16, 8), init_scale=0.0)
+    mesh = make_mesh(4)
+    tr = ShardedTrainer(task, TrainerConfig(
+        engine=EngineConfig(num_shards=4, unique_cap=512, new_cap=512),
+        log_every=0), mesh=mesh)
+    data = SyntheticCTR(num_users=100, num_items=60, batch_size=128,
+                        seed=77)
+    it = iter(data)
+    fb, b = next(it)
+    tr.train_step(fb, b)  # init dense params before restore
+    step = checkpoint.restore(tr, str(tmp_path))
+    assert step == 4
+    total = sum(st.size() for st in tr.engine.stores["sparse"])
+    assert total == total_saved
+    out = tr.train_step(*next(it))
+    assert np.isfinite(np.asarray(out["loss"])).all()
+
+
+@pytest.mark.timeout(600)
+def test_multihost_matches_sharded_losses(tmp_path):
+    """The multi-host 3-a2a step must train the same model the single-host
+    ShardedTrainer does: same synthetic stream, same shard count, same
+    (deterministic) init -> same loss trajectory within float tolerance."""
+    outs = run_workers(2, 8, 4, "train", str(tmp_path / "mh"))
+    pat = (r"RESULT (\d) first=([\d.]+) last=([\d.]+) auc=([\d.]+)")
+    res = parse_results(outs, pat)
+    mh_first, mh_last = float(res[0].group(2)), float(res[0].group(3))
+
+    from monolith_tpu.data.synthetic import SyntheticCTR
+    from monolith_tpu.embedding.engine import EngineConfig
+    from monolith_tpu.models.deepfm import DeepFMTask
+    from monolith_tpu.parallel.mesh import make_mesh
+    from monolith_tpu.parallel.sharded import ShardedTrainer
+    from monolith_tpu.training.trainer import TrainerConfig
+
+    task = DeepFMTask(embedding_dim=8, capacity_per_shard=4096,
+                      hidden=(16, 8), init_scale=0.0)
+    tr = ShardedTrainer(task, TrainerConfig(
+        engine=EngineConfig(num_shards=8, unique_cap=512, new_cap=512,
+                            bucket_cap=128, exchange="a2a"),
+        log_every=0), mesh=make_mesh(8))
+    # reassemble the same global stream the two workers consumed
+    data = SyntheticCTR(num_users=100, num_items=60, batch_size=64,
+                        seed=1000)
+    it = iter(data)
+    losses = []
+    for i in range(8):
+        b0, b1 = next(it), next(it)
+        fb = {k: np.concatenate([b0[0][k], b1[0][k]]) for k in b0[0]}
+        bb = {k: np.concatenate([b0[1][k], b1[1][k]]) for k in b0[1]}
+        out = tr.train_step(fb, bb, ts=i)
+        losses.append(float(np.asarray(out["loss"])))
+    sh_first, sh_last = np.mean(losses[:3]), np.mean(losses[-3:])
+    assert abs(sh_first - mh_first) < 2e-3, (sh_first, mh_first)
+    assert abs(sh_last - mh_last) < 2e-3, (sh_last, mh_last)
