@@ -50,6 +50,11 @@ class _Handler(grpc.GenericRpcHandler):
                 self._agent._handle_reload_dense,
                 request_deserializer=lambda b: b,
                 response_serializer=lambda b: b)
+        if method == f"/{_PREDICT_SERVICE}/Lookup":
+            return grpc.unary_unary_rpc_method_handler(
+                self._agent._handle_lookup,
+                request_deserializer=lambda b: b,
+                response_serializer=lambda b: b)
         return None
 
 
@@ -90,6 +95,13 @@ class ServingAgent:
         self.model.reload_dense(req["dense"])
         return codec.pack({"ok": 1})
 
+    def _handle_lookup(self, request: bytes, context) -> bytes:
+        # embedding-shard role (ref per-PS raw_lookup serving signature,
+        # distributed_ps.py:220-250): raw id -> value rows
+        req = codec.unpack(request)
+        vals = self.model.lookup_rows(req["table"], req["fids"])
+        return codec.pack({"values": vals})
+
     # --- lifecycle ---
 
     def start(self) -> str:
@@ -127,6 +139,9 @@ class ServingClient:
         self._reload = self._channel.unary_unary(
             f"/{_PREDICT_SERVICE}/ReloadDense",
             request_serializer=lambda b: b, response_deserializer=lambda b: b)
+        self._lookup = self._channel.unary_unary(
+            f"/{_PREDICT_SERVICE}/Lookup",
+            request_serializer=lambda b: b, response_deserializer=lambda b: b)
 
     def predict(self, fid_batch: Dict[str, np.ndarray],
                 batch: Optional[Dict[str, np.ndarray]] = None) -> np.ndarray:
@@ -140,6 +155,13 @@ class ServingClient:
 
     def reload_dense(self, dense_bytes: bytes) -> None:
         self._reload(codec.pack({"dense": dense_bytes}), timeout=self.timeout_s)
+
+    def lookup(self, table: str, fids: np.ndarray) -> np.ndarray:
+        """Raw embedding lookup on a shard replica (router fan-out path)."""
+        resp = codec.unpack(self._lookup(
+            codec.pack({"table": table, "fids": np.asarray(fids, np.int64)}),
+            timeout=self.timeout_s))
+        return resp["values"]
 
     def close(self):
         self._channel.close()

@@ -28,15 +28,27 @@ from monolith_tpu.training.task import RecTask
 
 
 class ServingModel:
-    """Loads an export and serves predictions; accepts online row deltas."""
+    """Loads an export and serves predictions; accepts online row deltas.
+
+    Row-sharded serving (ref DistributedExporter per-PS sub-graphs,
+    saved_model_exporters.py:571 + distributed_ps.py:302-379): pass
+    `num_row_shards` > 1 and a `shard_index` to load only the rows whose
+    `shard_of(fid, num_row_shards) == shard_index` — the replica then acts
+    as one embedding shard behind `lookup_rows`, with a
+    `ShardedServingRouter` playing the reference's "entry" graph. Training
+    shard count is irrelevant (files are re-routed at load), so serving can
+    scale to however many replicas the table needs to fit in RAM."""
 
     def __init__(self, task: RecTask, export_path: str,
-                 headroom: float = 0.25, unique_cap: int = 8192):
+                 headroom: float = 0.25, unique_cap: int = 8192,
+                 shard_index: int = 0, num_row_shards: int = 1):
         self.task = task
         self.module = task.build_module()
         self.tables = {t.name: t for t in task.tables()}
         self.features = {f.name: f for f in task.features()}
         self.unique_cap = unique_cap
+        self.shard_index = shard_index
+        self.num_row_shards = num_row_shards
         self._lock = threading.Lock()
 
         with open(os.path.join(export_path, "meta.json")) as f:
@@ -72,6 +84,11 @@ class ServingModel:
                                 if len(fids) else np.zeros((0, seg.dim), np.float32))
                 vals = (np.concatenate(segs, axis=1) if segs
                         else np.zeros((len(fids), spec.dim), np.float32))
+                if self.num_row_shards > 1 and len(fids):
+                    from monolith_tpu.embedding.host_store import shard_of_batch
+                    keep = (shard_of_batch(fids, self.num_row_shards)
+                            == self.shard_index)
+                    fids, vals = fids[keep], vals[keep]
                 all_fids.append(fids)
                 all_rows_vals.append(vals)
                 total_live += len(fids)
@@ -166,6 +183,20 @@ class ServingModel:
         preds, _ = self._jit_fwd(pools, self.params,
                                  inputs, {k: jnp.asarray(v) for k, v in batch.items()})
         return np.asarray(preds)
+
+    def lookup_rows(self, table: str, fids: np.ndarray) -> np.ndarray:
+        """Embedding-shard role: raw id -> value lookup (missing ids read
+        zeros). The reference's per-PS `raw_lookup` serving signature
+        (distributed_ps.py:220-250); a ShardedServingRouter fans predict
+        requests out to these."""
+        fids = np.asarray(fids, np.int64)
+        rows = self.stores[table].lookup(fids)
+        with self._lock:
+            pool = np.asarray(self.pools[table])
+        out = np.zeros((len(fids), pool.shape[1]), np.float32)
+        ok = rows >= 0
+        out[ok] = pool[rows[ok]]
+        return out
 
     # ------------------------------------------------------------------
     # realtime updates (parameter sync receive path)

@@ -82,6 +82,43 @@ class SyncClientManager:
                     self._clients.pop(t).close()
         return targets
 
+    def push_routed(self, table: str, fids: np.ndarray,
+                    embeddings: np.ndarray,
+                    num_row_shards: int) -> Dict[str, int]:
+        """Row-sharded serving push: each fid goes ONLY to the replica
+        owning its row shard (replica index i serves shard
+        i % num_row_shards — the same shard_of(fid, N) hash the serving
+        loader and router use). The reference routes pushes per PS shard
+        the same way (sync_client_manager.h targets keyed by shard)."""
+        from monolith_tpu.embedding.host_store import shard_of_batch
+
+        fids = np.asarray(fids, np.int64)
+        dest = shard_of_batch(fids, num_row_shards)
+        replicas: Dict[int, str] = {}
+        if self.discovery is not None:
+            replicas.update(self.discovery.query(self.service))
+        for i, t in enumerate(self._static):
+            replicas.setdefault(i, t)
+        results: Dict[str, int] = {}
+        with self._lock:
+            for t in replicas.values():
+                if t not in self._clients:
+                    self._clients[t] = ParameterSyncClient(t)
+            clients = dict(self._clients)
+        for idx, target in replicas.items():
+            sel = dest == (idx % num_row_shards)
+            if not sel.any():
+                results[target] = 0
+                continue
+            try:
+                results[target] = clients[target].push(
+                    self.model_name, table, fids[sel], embeddings[sel])
+            except grpc.RpcError as e:
+                log.warning("routed param sync push to %s failed: %s",
+                            target, e)
+                results[target] = -1
+        return results
+
     def push(self, table: str, fids: np.ndarray, embeddings: np.ndarray) -> Dict[str, int]:
         """Push the delta to every live target; per-target ack counts."""
         self.refresh_targets()

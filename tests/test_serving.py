@@ -199,3 +199,96 @@ class TestRealtime:
             assert not np.allclose(before, after)
         finally:
             agent.stop()
+
+
+class TestShardedServing:
+    """Row-sharded serving (ref DistributedExporter entry + ps_i graphs):
+    N replicas each hold a row shard; an entry router fans lookups out and
+    merges. Predictions must match the single-replica model bit-for-bit."""
+
+    def test_two_replica_router_matches_single(self, tmp_path):
+        from monolith_tpu.serving.router import ShardedServingRouter
+
+        trainer = make_trainer()
+        data = train_some(trainer, steps=20)
+        path = export_model(trainer, str(tmp_path))
+
+        single = ServingModel(make_task(), path)
+        shards = {s: ServingModel(make_task(), path, shard_index=s,
+                                  num_row_shards=2) for s in range(2)}
+        # the row split is a partition: shard sizes sum to the single total
+        total = sum(m.table_sizes()["sparse"] for m in shards.values())
+        assert total == single.table_sizes()["sparse"]
+        assert all(m.table_sizes()["sparse"] > 0 for m in shards.values())
+
+        router = ShardedServingRouter(make_task(), path, shards)
+        for _ in range(3):
+            fb, b = data.batch()
+            np.testing.assert_array_equal(router.predict(fb, b),
+                                          single.predict(fb, b))
+
+    def test_router_over_grpc_replicas(self, tmp_path):
+        from monolith_tpu.serving.router import ShardedServingRouter
+
+        trainer = make_trainer()
+        data = train_some(trainer, steps=10)
+        path = export_model(trainer, str(tmp_path))
+        single = ServingModel(make_task(), path)
+
+        agents = []
+        clients = {}
+        try:
+            for s in range(2):
+                m = ServingModel(make_task(), path, shard_index=s,
+                                 num_row_shards=2)
+                a = ServingAgent(m, port=0)
+                a.start()
+                agents.append(a)
+                clients[s] = ServingClient(a.addr)
+            router = ShardedServingRouter(make_task(), path, clients)
+            fb, b = data.batch()
+            np.testing.assert_array_equal(router.predict(fb, b),
+                                          single.predict(fb, b))
+        finally:
+            for a in agents:
+                a.stop()
+
+    def test_routed_push_lands_on_owning_shard(self, tmp_path):
+        from monolith_tpu.embedding.host_store import shard_of
+        from monolith_tpu.serving.router import ShardedServingRouter
+
+        trainer = make_trainer()
+        train_some(trainer, steps=5)
+        path = export_model(trainer, str(tmp_path))
+        dim = make_task().tables()[0].dim
+
+        agents, targets, models = [], [], []
+        try:
+            for s in range(2):
+                m = ServingModel(make_task(), path, shard_index=s,
+                                 num_row_shards=2)
+                a = ServingAgent(m, port=0)
+                a.start()
+                models.append(m)
+                agents.append(a)
+                targets.append(a.addr)
+            mgr = SyncClientManager("demo", static_targets=targets)
+            fids = np.arange(10_000, 10_064, dtype=np.int64)
+            vals = np.random.default_rng(0).normal(
+                size=(len(fids), dim)).astype(np.float32)
+            acks = mgr.push_routed("sparse", fids, vals, num_row_shards=2)
+            # every pushed row applied exactly once, on its owning shard
+            assert sum(acks.values()) == len(fids)
+            for s, m in enumerate(models):
+                mine = np.array([f for f in fids if shard_of(int(f), 2) == s])
+                got = m.lookup_rows("sparse", mine)
+                np.testing.assert_allclose(
+                    got, vals[[int(np.where(fids == f)[0][0]) for f in mine]],
+                    rtol=1e-6)
+                other = np.array([f for f in fids
+                                  if shard_of(int(f), 2) != s])
+                np.testing.assert_array_equal(
+                    m.lookup_rows("sparse", other), 0.0)
+        finally:
+            for a in agents:
+                a.stop()
