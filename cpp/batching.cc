@@ -35,6 +35,15 @@ extern "C" void mt_store_map_train_pos(void* s, const int64_t* fids, int64_t n,
                                        int32_t* out_new_pos, int64_t new_cap,
                                        int64_t* out_new_count,
                                        int32_t record_touch);
+extern "C" void mt_store_map_train_pos2(void* s, const int64_t* fids,
+                                        int64_t n, uint32_t ts,
+                                        const int32_t* counts,
+                                        int32_t* out_rows,
+                                        int32_t* out_new_rows,
+                                        int64_t* out_new_fids,
+                                        int32_t* out_new_pos, int64_t new_cap,
+                                        int64_t* out_new_count,
+                                        int32_t record_touch);
 
 namespace {
 
@@ -60,8 +69,13 @@ class Batcher {
   // AddStream() folds each feature's fid stream in, writing per-position
   // indices (int16 or int32) as it goes. Dedup state is shared across the
   // streams of one Begin() — the same fid in two features maps to one slot.
+  // `out_occurrence`: optional per-unique-slot batch occurrence counts
+  // (length num_shards*shard_cap, follows out_unique's layout) — the
+  // probabilistic admission filters consume them (ref ShouldBeFiltered's
+  // `count` argument, probabilistic_filter.h:48).
   void Begin(int64_t n_total, int32_t num_shards, int64_t shard_cap,
-             int64_t* out_unique, int32_t* out_shard_counts) {
+             int64_t* out_unique, int32_t* out_shard_counts,
+             int32_t* out_occurrence = nullptr) {
     ++epoch_;
     if (epoch_ == 0) {  // wrapped: hard reset
       for (Slot& s : slots_) s.stamp = 0;
@@ -80,6 +94,9 @@ class Batcher {
     for (int32_t s = 0; s < num_shards; ++s) out_counts_[s] = 0;
     std::fill(out_unique, out_unique + (int64_t)num_shards * shard_cap,
               kPadFid);
+    occurrence_ = out_occurrence;
+    if (occurrence_)
+      std::fill(occurrence_, occurrence_ + (int64_t)num_shards * shard_cap, 0);
     overflow_ = 0;
   }
 
@@ -123,10 +140,12 @@ class Batcher {
             s.val = idx;
           }
           out_index[i] = (IdxT)s.val;
+          if (occurrence_ && s.val >= 0) ++occurrence_[s.val];
           break;
         }
         if (s.key == fid) {
           out_index[i] = (IdxT)s.val;
+          if (occurrence_ && s.val >= 0) ++occurrence_[s.val];
           break;
         }
         pos = (pos + 1) & mask;
@@ -139,8 +158,10 @@ class Batcher {
   // One-shot variant (original API, int32 indices).
   int64_t Dedup(const int64_t* values, int64_t n, int32_t num_shards,
                 int64_t shard_cap, int64_t* out_unique, int32_t* out_index,
-                int32_t* out_shard_counts) {
-    Begin(n, num_shards, shard_cap, out_unique, out_shard_counts);
+                int32_t* out_shard_counts,
+                int32_t* out_occurrence = nullptr) {
+    Begin(n, num_shards, shard_cap, out_unique, out_shard_counts,
+          out_occurrence);
     AddStream<int32_t>(values, n, out_index);
     return overflow_;
   }
@@ -148,6 +169,11 @@ class Batcher {
   std::vector<int64_t>& unique_scratch(int64_t n) {
     if ((int64_t)unique_scratch_.size() < n) unique_scratch_.resize(n);
     return unique_scratch_;
+  }
+
+  std::vector<int32_t>& occurrence_scratch(int64_t n) {
+    if ((int64_t)occurrence_scratch_.size() < n) occurrence_scratch_.resize(n);
+    return occurrence_scratch_;
   }
 
   // Guards the epoch-stamped scratch: JAX async dispatch can have two
@@ -190,8 +216,10 @@ class Batcher {
   int64_t overflow_ = 0;
   int64_t* out_unique_ = nullptr;
   int32_t* out_counts_ = nullptr;
+  int32_t* occurrence_ = nullptr;
   std::vector<Slot> slots_;
   std::vector<int64_t> unique_scratch_;
+  std::vector<int32_t> occurrence_scratch_;
 };
 
 // Single-table prepare body, shared by the one-call and multi-table C
@@ -205,8 +233,10 @@ int64_t PrepareWireOne(Batcher* b, void* store, const int64_t* const* streams,
   for (int32_t i = 0; i < n_streams; ++i) n_total += sizes[i];
 
   std::vector<int64_t>& unique = b->unique_scratch(unique_cap);
+  std::vector<int32_t>& occ = b->occurrence_scratch(unique_cap);
   int32_t count = 0;
-  b->Begin(n_total, /*num_shards=*/1, unique_cap, unique.data(), &count);
+  b->Begin(n_total, /*num_shards=*/1, unique_cap, unique.data(), &count,
+           occ.data());
 
   int64_t off = unique_cap;  // wire word offset past the rows block
   for (int32_t i = 0; i < n_streams; ++i) {
@@ -227,9 +257,9 @@ int64_t PrepareWireOne(Batcher* b, void* store, const int64_t* const* streams,
     new_fids.resize(new_cap);
   }
   int64_t n_new = 0;
-  mt_store_map_train_pos(store, unique.data(), count, ts, wire,
-                         new_rows.data(), new_fids.data(), new_pos.data(),
-                         new_cap, &n_new, record_touch);
+  mt_store_map_train_pos2(store, unique.data(), count, ts, occ.data(), wire,
+                          new_rows.data(), new_fids.data(), new_pos.data(),
+                          new_cap, &n_new, record_touch);
   int64_t n_marked = n_new < new_cap ? n_new : new_cap;
   for (int64_t i = 0; i < n_marked; ++i) wire[new_pos[i]] |= (1 << 30);
 
@@ -263,6 +293,18 @@ int64_t mt_batcher_dedup(void* b, const int64_t* values, int64_t n,
   std::lock_guard<std::mutex> g(bb->mu());
   return bb->Dedup(values, n, num_shards, shard_cap, out_unique, out_index,
                    out_shard_counts);
+}
+
+// Dedup that also emits per-unique batch occurrence counts.
+int64_t mt_batcher_dedup2(void* b, const int64_t* values, int64_t n,
+                          int32_t num_shards, int64_t shard_cap,
+                          int64_t* out_unique, int32_t* out_index,
+                          int32_t* out_shard_counts,
+                          int32_t* out_occurrence) {
+  Batcher* bb = static_cast<Batcher*>(b);
+  std::lock_guard<std::mutex> g(bb->mu());
+  return bb->Dedup(values, n, num_shards, shard_cap, out_unique, out_index,
+                   out_shard_counts, out_occurrence);
 }
 
 // Shard-of-fid helper so Python-side tests can cross-check bucketing.

@@ -19,6 +19,7 @@
 
 #include <algorithm>
 #include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <memory>
@@ -206,7 +207,8 @@ constexpr int64_t kTombstone = INT64_MIN + 1;
 enum FilterKind : int32_t {
   kNoFilter = 0,
   kSlidingFilter = 1,
-  kProbabilisticFilter = 2,
+  kProbabilisticFilter = 2,         // equal-probability mode
+  kProbabilisticUnequalFilter = 3,  // admit prob proportional to count
 };
 
 class Store {
@@ -225,6 +227,10 @@ class Store {
           filter_capacity > 0 ? filter_capacity : row_capacity * 4,
           filter_splits > 0 ? filter_splits : 5));
     }
+    // equal-probability per-occurrence admit chance, calibrated so that
+    // after `threshold` occurrences P(admitted) = 1 - epsilon (ref
+    // probabilistic_filter.cc:29-36, epsilon = 0.05)
+    equal_p1_ = 1.0 - std::pow(0.05, 1.0 / (double)admit_threshold_);
     rng_.s0 ^= seed;
     rng_.s1 ^= mix64(seed + 1);
   }
@@ -244,7 +250,8 @@ class Store {
                       int32_t* out_rows, int32_t* out_new_rows,
                       int64_t* out_new_fids, int64_t new_cap,
                       int64_t* out_new_count, int32_t record_touch,
-                      int32_t* out_new_pos = nullptr) {
+                      int32_t* out_new_pos = nullptr,
+                      const int32_t* counts = nullptr) {
     std::lock_guard<std::mutex> g(mu_);
     int64_t n_new = 0;
     constexpr int64_t kPrefetch = 12;  // hide DRAM latency of random probes
@@ -261,13 +268,14 @@ class Store {
       if (found) {
         Slot& s = slots_[pos];
         s.ts = ts;
-        if (s.count < UINT32_MAX) ++s.count;
+        uint32_t add = counts ? (uint32_t)counts[i] : 1u;
+        s.count = (s.count > UINT32_MAX - add) ? UINT32_MAX : s.count + add;
         out_rows[i] = (int32_t)s.row;
         if (record_touch) touched_.push_back(fid);
         continue;
       }
       // admission
-      if (!Admit(fid)) {
+      if (!Admit(fid, counts ? (int64_t)counts[i] : 1)) {
         out_rows[i] = -1;
         continue;
       }
@@ -487,17 +495,28 @@ class Store {
     }
   }
 
-  bool Admit(int64_t fid) {
+  // `count` = occurrences of the fid in this batch (1 when the caller has
+  // no per-id counts).
+  bool Admit(int64_t fid, int64_t count) {
     switch (filter_kind_) {
       case kNoFilter:
         return true;
       case kSlidingFilter:
-        return filter_->AddAndEstimate(fid, 1) >= (uint32_t)admit_threshold_;
+        return filter_->AddAndEstimate(fid, (uint32_t)count) >=
+               (uint32_t)admit_threshold_;
       case kProbabilisticFilter:
-        // equal-probability mode (ref probabilistic_filter.h:48): admit each
-        // occurrence with p = 1/threshold so E[occurrences-to-admit] =
-        // threshold, with zero memory.
-        return admit_threshold_ <= 1 || rng_.uniform() * admit_threshold_ < 1.0;
+        // equal-probability mode (ref probabilistic_filter.cc:29-36): each
+        // occurrence admits with the same chance p1, chosen so a fid seen
+        // `threshold` times has admitted with prob 1-eps; a batch of
+        // `count` occurrences admits with 1-(1-p1)^count. Zero memory.
+        return admit_threshold_ <= 1 ||
+               rng_.uniform() < 1.0 - std::pow(1.0 - equal_p1_, (double)count);
+      case kProbabilisticUnequalFilter:
+        // unequal-probability mode (ref probabilistic_filter.cc:23-27):
+        // admit with p = count/threshold — ids frequent within a batch
+        // admit proportionally sooner; E[occurrences-to-admit] = threshold.
+        return admit_threshold_ <= 1 ||
+               rng_.uniform() * (double)admit_threshold_ < (double)count;
       default:
         return true;
     }
@@ -519,6 +538,7 @@ class Store {
   int32_t admit_threshold_;
   uint64_t table_size_ = 0, mask_ = 0;
   int64_t size_ = 0;
+  double equal_p1_ = 1.0;
   int64_t next_fresh_row_ = 0;
   std::vector<Slot> slots_;
   std::vector<uint32_t> free_rows_;
@@ -561,6 +581,19 @@ void mt_store_map_train_pos(void* s, const int64_t* fids, int64_t n,
   static_cast<Store*>(s)->MapForTraining(fids, n, ts, out_rows, out_new_rows,
                                          out_new_fids, new_cap, out_new_count,
                                          record_touch, out_new_pos);
+}
+
+// map_train_pos with per-fid batch occurrence counts (probabilistic
+// admission uses them; see Store::Admit). counts may be null.
+void mt_store_map_train_pos2(void* s, const int64_t* fids, int64_t n,
+                             uint32_t ts, const int32_t* counts,
+                             int32_t* out_rows, int32_t* out_new_rows,
+                             int64_t* out_new_fids, int32_t* out_new_pos,
+                             int64_t new_cap, int64_t* out_new_count,
+                             int32_t record_touch) {
+  static_cast<Store*>(s)->MapForTraining(fids, n, ts, out_rows, out_new_rows,
+                                         out_new_fids, new_cap, out_new_count,
+                                         record_touch, out_new_pos, counts);
 }
 
 void mt_store_lookup(void* s, const int64_t* fids, int64_t n,

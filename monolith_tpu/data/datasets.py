@@ -148,28 +148,41 @@ class QueueSource:
 
 
 class KafkaSource:
-    """Kafka consumer of framed Example payloads
-    (ref KafkaDataset data/datasets.py:1223, kernel data/kernels/kafka_kernels.cc)."""
+    """Kafka consumer of Example payloads (ref KafkaDataset
+    data/datasets.py:1223, kernel data/kernels/kafka_kernels.cc).
+
+    `fmt` selects the message payload codec ("mtex" native, or the
+    reference protobuf formats "pb_instance"/"pb_example"/
+    "pb_example_batch" — existing monolith Kafka topics stream in
+    unchanged). `consumer_factory` injects the consumer constructor; the
+    default is confluent_kafka.Consumer, tests pass a fake (mirroring the
+    reference's mocked-Kafka tests)."""
 
     def __init__(self, topics: Sequence[str], group_id: str,
                  brokers: str, poll_timeout_s: float = 1.0,
-                 stop_on_idle_s: Optional[float] = None, **consumer_conf):
-        try:
-            from confluent_kafka import Consumer  # noqa: F401
-        except ImportError as e:
-            raise ImportError(
-                "KafkaSource requires confluent_kafka; use QueueSource or "
-                "FileSource in environments without it") from e
+                 stop_on_idle_s: Optional[float] = None, fmt: str = "mtex",
+                 consumer_factory=None, **consumer_conf):
+        if consumer_factory is None:
+            try:
+                from confluent_kafka import Consumer
+            except ImportError as e:
+                raise ImportError(
+                    "KafkaSource requires confluent_kafka; use QueueSource "
+                    "or FileSource in environments without it, or inject a "
+                    "consumer_factory") from e
+            consumer_factory = Consumer
+        self.consumer_factory = consumer_factory
         self.topics = list(topics)
         self.conf = {"bootstrap.servers": brokers, "group.id": group_id,
                      **consumer_conf}
         self.poll_timeout_s = poll_timeout_s
         self.stop_on_idle_s = stop_on_idle_s
+        self.fmt = fmt
 
     def __iter__(self) -> Iterator[Example]:
-        from confluent_kafka import Consumer
-        import time as _time
-        c = Consumer(self.conf)
+        from monolith_tpu.data.framing import payload_decoder
+        decode = payload_decoder(self.fmt)
+        c = self.consumer_factory(self.conf)
         c.subscribe(self.topics)
         idle = 0.0
         try:
@@ -181,7 +194,7 @@ class KafkaSource:
                         return
                     continue
                 idle = 0.0
-                yield Example.from_bytes(msg.value())
+                yield from decode(msg.value())
         finally:
             c.close()
 

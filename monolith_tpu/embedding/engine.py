@@ -42,6 +42,7 @@ _FILTER_KINDS = {
     "none": FilterKind.NONE,
     "sliding": FilterKind.SLIDING,
     "probabilistic": FilterKind.PROBABILISTIC,
+    "probabilistic_unequal": FilterKind.PROBABILISTIC_UNEQUAL,
 }
 
 
@@ -172,8 +173,16 @@ class EmbeddingEngine:
             streams = [np.ascontiguousarray(fid_batch[f.name], dtype=np.int64)
                        for f in feats]
             flat = np.concatenate([s.ravel() for s in streams])
-            unique, index, counts, overflow = self.batchers[tname].dedup(
-                flat, num_shards=S, shard_cap=U)
+            # probabilistic admission consumes per-id batch occurrence
+            # counts (ref ShouldBeFiltered's count arg)
+            occ = None
+            if self.tables[tname].admission.kind.startswith("probabilistic"):
+                unique, index, counts, occ, overflow = \
+                    self.batchers[tname].dedup_counts(flat, num_shards=S,
+                                                      shard_cap=U)
+            else:
+                unique, index, counts, overflow = self.batchers[tname].dedup(
+                    flat, num_shards=S, shard_cap=U)
             rows = np.full((S, U), -1, dtype=np.int32)
             if packed:
                 # fused step: new ids are a SELECT over the gathered rows,
@@ -199,14 +208,17 @@ class EmbeddingEngine:
                 c = int(counts[s])
                 if c == 0:
                     continue
-                if packed or compact:
+                if packed or compact or occ is not None:
                     r, nr, nf, npos = self.stores[tname][s].map_train_pos(
                         unique[s, :c], ts=ts, new_cap=K,
-                        record_touch=cfg.record_touch)
+                        record_touch=cfg.record_touch,
+                        counts=None if occ is None else occ[s, :c])
                     if packed:
                         new_mask[s, npos] = 1
-                    else:
+                    elif compact:
                         new_pos[s, :len(npos)] = npos
+                    else:
+                        new_rows[s, :len(nr)] = nr
                 else:
                     r, nr, nf = self.stores[tname][s].map_train(
                         unique[s, :c], ts=ts, new_cap=K,

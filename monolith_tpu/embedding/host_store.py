@@ -27,6 +27,7 @@ class FilterKind(enum.IntEnum):
     NONE = 0
     SLIDING = 1       # sliding count-min window (ref SlidingHashFilter)
     PROBABILISTIC = 2  # stateless equal-probability admission
+    PROBABILISTIC_UNEQUAL = 3  # admit prob proportional to batch count
 
 
 def _ptr(a: np.ndarray, ctype):
@@ -91,11 +92,15 @@ class HostStore:
 
     def map_train_pos(self, fids: np.ndarray, ts: int,
                       new_cap: Optional[int] = None,
-                      record_touch: bool = False
+                      record_touch: bool = False,
+                      counts: Optional[np.ndarray] = None
                       ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
         """map_train that also returns each new id's POSITION within `fids`
         (strictly increasing int32 [k]) — the compact wire format ships
-        positions (int16-able) instead of a second int32 row array."""
+        positions (int16-able) instead of a second int32 row array.
+        `counts` (optional, int32 [n]): per-fid batch occurrence counts,
+        consumed by the probabilistic admission filters (ref
+        ShouldBeFiltered's `count`, probabilistic_filter.h:48)."""
         fids = np.ascontiguousarray(fids, dtype=np.int64)
         n = fids.size
         if new_cap is None:
@@ -105,12 +110,22 @@ class HostStore:
         new_fids = np.empty(new_cap, dtype=np.int64)
         new_pos = np.empty(new_cap, dtype=np.int32)
         new_count = np.zeros(1, dtype=np.int64)
-        self._lib.mt_store_map_train_pos(
-            self._h, _ptr(fids, ctypes.c_int64), n, ts,
-            _ptr(rows, ctypes.c_int32), _ptr(new_rows, ctypes.c_int32),
-            _ptr(new_fids, ctypes.c_int64), _ptr(new_pos, ctypes.c_int32),
-            new_cap, _ptr(new_count, ctypes.c_int64),
-            1 if record_touch else 0)
+        if counts is not None:
+            counts = np.ascontiguousarray(counts, dtype=np.int32)
+            self._lib.mt_store_map_train_pos2(
+                self._h, _ptr(fids, ctypes.c_int64), n, ts,
+                _ptr(counts, ctypes.c_int32),
+                _ptr(rows, ctypes.c_int32), _ptr(new_rows, ctypes.c_int32),
+                _ptr(new_fids, ctypes.c_int64), _ptr(new_pos, ctypes.c_int32),
+                new_cap, _ptr(new_count, ctypes.c_int64),
+                1 if record_touch else 0)
+        else:
+            self._lib.mt_store_map_train_pos(
+                self._h, _ptr(fids, ctypes.c_int64), n, ts,
+                _ptr(rows, ctypes.c_int32), _ptr(new_rows, ctypes.c_int32),
+                _ptr(new_fids, ctypes.c_int64), _ptr(new_pos, ctypes.c_int32),
+                new_cap, _ptr(new_count, ctypes.c_int64),
+                1 if record_touch else 0)
         k = min(int(new_count[0]), new_cap)
         self.last_rejected = int(new_count[0]) - k
         return rows, new_rows[:k], new_fids[:k], new_pos[:k]
@@ -258,6 +273,23 @@ class Batcher:
             num_shards, shard_cap, _ptr(unique, ctypes.c_int64),
             _ptr(index, ctypes.c_int32), _ptr(counts, ctypes.c_int32))
         return unique, index, counts, int(overflow)
+
+    def dedup_counts(self, values: np.ndarray, num_shards: int,
+                     shard_cap: int):
+        """dedup that also returns per-unique batch occurrence counts
+        ([num_shards, shard_cap] int32, same layout as `unique`) — consumed
+        by the probabilistic admission filters."""
+        values = np.ascontiguousarray(values, dtype=np.int64).ravel()
+        unique = np.empty((num_shards, shard_cap), dtype=np.int64)
+        index = np.empty(values.size, dtype=np.int32)
+        counts = np.empty(num_shards, dtype=np.int32)
+        occ = np.empty((num_shards, shard_cap), dtype=np.int32)
+        overflow = self._lib.mt_batcher_dedup2(
+            self._h, _ptr(values, ctypes.c_int64), values.size,
+            num_shards, shard_cap, _ptr(unique, ctypes.c_int64),
+            _ptr(index, ctypes.c_int32), _ptr(counts, ctypes.c_int32),
+            _ptr(occ, ctypes.c_int32))
+        return unique, index, counts, occ, int(overflow)
 
 
 def prepare_wire(batcher: "Batcher", store: HostStore,

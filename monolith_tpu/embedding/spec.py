@@ -102,8 +102,15 @@ class TableSegment:
 @dataclasses.dataclass(frozen=True)
 class AdmissionConfig:
     """Frequency-based feature admission (ref: sliding_hash_filter.h:26,
-    probabilistic_filter.h:25; occurrence_threshold in CuckooHashTableConfig)."""
-    kind: str = "none"  # none | sliding | probabilistic
+    probabilistic_filter.h:25; occurrence_threshold in CuckooHashTableConfig).
+
+    Kinds: "sliding" counts occurrences in an approximate sliding window
+    and admits at `threshold`; "probabilistic" admits each occurrence with
+    an equal chance calibrated so P(admitted after threshold) = 95% (ref
+    probabilistic_filter.cc:29); "probabilistic_unequal" admits with
+    p = batch_count/threshold (ref :23) — both probabilistic modes are
+    stateless (zero filter memory)."""
+    kind: str = "none"  # none | sliding | probabilistic | probabilistic_unequal
     threshold: int = 1
     filter_capacity: int = 0
     filter_splits: int = 5

@@ -86,6 +86,14 @@ def _declare(lib: ctypes.CDLL) -> None:
     d.mt_batcher_dedup.argtypes = [
         ctypes.c_void_p, c_i64_p, ctypes.c_int64, ctypes.c_int32,
         ctypes.c_int64, c_i64_p, c_i32_p, c_i32_p]
+    d.mt_batcher_dedup2.restype = ctypes.c_int64
+    d.mt_batcher_dedup2.argtypes = [
+        ctypes.c_void_p, c_i64_p, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int64, c_i64_p, c_i32_p, c_i32_p, c_i32_p]
+    d.mt_store_map_train_pos2.argtypes = [
+        ctypes.c_void_p, c_i64_p, ctypes.c_int64, ctypes.c_uint32, c_i32_p,
+        c_i32_p, c_i32_p, c_i64_p, c_i32_p, ctypes.c_int64, c_i64_p,
+        ctypes.c_int32]
     d.mt_shard_of.restype = ctypes.c_int32
     d.mt_shard_of.argtypes = [ctypes.c_int64, ctypes.c_int32]
     d.mt_prepare_wire.restype = ctypes.c_int64

@@ -350,3 +350,85 @@ def test_batcher_rehash_mid_stream():
     for i in range(0, 500, 11):
         if vals[i] != -1:
             assert u2[index2[i]] == vals[i]
+
+
+class TestKafkaSourceContract:
+    """Contract test against a fake consumer (the reference fakes Kafka in
+    its dataset tests too — data/kernels/kafka_kernels.cc test strategy):
+    subscribe -> poll loop -> payload decode -> close, with error messages
+    skipped and idle stop honored."""
+
+    class FakeMessage:
+        def __init__(self, value=None, error=None):
+            self._value, self._error = value, error
+
+        def value(self):
+            return self._value
+
+        def error(self):
+            return self._error
+
+    class FakeConsumer:
+        def __init__(self, conf, messages):
+            self.conf = conf
+            self.messages = list(messages)
+            self.subscribed = None
+            self.closed = False
+
+        def subscribe(self, topics):
+            self.subscribed = topics
+
+        def poll(self, timeout):
+            if self.messages:
+                return self.messages.pop(0)
+            return None  # idle
+
+        def close(self):
+            self.closed = True
+
+    def _examples(self, n):
+        from monolith_tpu.data.example import Example
+        return [Example(features={"u": np.array([100 + i], np.int64)},
+                        labels=np.array([float(i % 2)], np.float32))
+                for i in range(n)]
+
+    def test_native_payloads(self):
+        from monolith_tpu.data.datasets import KafkaSource
+        exs = self._examples(4)
+        msgs = [self.FakeMessage(value=e.to_bytes()) for e in exs]
+        msgs.insert(2, self.FakeMessage(error="broker hiccup"))  # skipped
+        holder = {}
+
+        def factory(conf):
+            holder["c"] = self.FakeConsumer(conf, msgs)
+            return holder["c"]
+
+        src = KafkaSource(["topic-a"], group_id="g", brokers="b:9092",
+                          poll_timeout_s=0.01, stop_on_idle_s=0.02,
+                          consumer_factory=factory)
+        got = list(src)
+        assert len(got) == 4
+        np.testing.assert_array_equal(got[3].features["u"], [103])
+        assert holder["c"].subscribed == ["topic-a"]
+        assert holder["c"].closed
+        assert holder["c"].conf["bootstrap.servers"] == "b:9092"
+        assert holder["c"].conf["group.id"] == "g"
+
+    def test_reference_pb_payloads(self):
+        """Messages in the reference Example wire format stream straight
+        into Examples (a monolith Kafka topic needs no conversion)."""
+        from monolith_tpu.data import pb_compat
+        from monolith_tpu.data.datasets import KafkaSource
+        exs = self._examples(3)
+        msgs = [self.FakeMessage(value=pb_compat.encode_example(e))
+                for e in exs]
+        src = KafkaSource(["t"], group_id="g", brokers="b",
+                          poll_timeout_s=0.01, stop_on_idle_s=0.02,
+                          fmt="pb_example",
+                          consumer_factory=lambda conf:
+                          self.FakeConsumer(conf, list(msgs)))
+        got = list(src)
+        assert len(got) == 3
+        for i, ex in enumerate(got):
+            np.testing.assert_array_equal(ex.features["u"], [100 + i])
+            np.testing.assert_allclose(ex.labels, [float(i % 2)])

@@ -112,8 +112,59 @@ class TestAdmissionFilters:
         fids = np.arange(n, dtype=np.int64)
         rows, _, _ = s.map_train(fids, ts=1)
         admitted = (rows >= 0).sum()
-        # each new id admitted with p = 1/thr
-        assert abs(admitted / n - 1.0 / thr) < 0.02
+        # equal-probability mode: per-occurrence admit chance p1 calibrated
+        # so P(admitted after thr occurrences) = 95% (ref
+        # probabilistic_filter.cc:29-36, epsilon=0.05)
+        p1 = 1.0 - 0.05 ** (1.0 / thr)
+        assert abs(admitted / n - p1) < 0.02
+
+    def test_probabilistic_unequal_scales_with_count(self):
+        """Unequal-probability mode (ref probabilistic_filter.cc:23-27):
+        admit prob = batch_count / threshold — ids frequent within a batch
+        admit proportionally sooner."""
+        thr = 8
+        n = 40000
+        rates = {}
+        for count in (1, 4):
+            s = HostStore(row_capacity=200000,
+                          filter_kind=FilterKind.PROBABILISTIC_UNEQUAL,
+                          admit_threshold=thr, seed=11)
+            fids = np.arange(n, dtype=np.int64)
+            counts = np.full(n, count, np.int32)
+            rows, _, _, _ = s.map_train_pos(fids, ts=1, counts=counts)
+            rates[count] = (rows >= 0).mean()
+        assert abs(rates[1] - 1 / thr) < 0.02
+        assert abs(rates[4] - 4 / thr) < 0.02
+
+    def test_unequal_counts_flow_from_engine(self):
+        """The engine's prepare path must feed per-id batch occurrence
+        counts into the admission filter: a fid repeated k times in one
+        batch admits with prob ~= k/threshold."""
+        from monolith_tpu.embedding.engine import EmbeddingEngine, EngineConfig
+        from monolith_tpu.embedding.spec import (AdmissionConfig, TableSegment,
+                                                 TableSpec)
+        from monolith_tpu.feature import FeatureConfig
+
+        thr = 8
+        reps = 4
+        tables = [TableSpec(
+            name="t", capacity_per_shard=65536,
+            segments=(TableSegment(dim=4),),
+            admission=AdmissionConfig(kind="probabilistic_unequal",
+                                      threshold=thr))]
+        feats = [FeatureConfig(name="f", table="t", max_length=reps,
+                               combiner="sum")]
+        eng = EmbeddingEngine(tables, feats,
+                              EngineConfig(unique_cap=8192, new_cap=8192),
+                              seed=3)
+        n = 16000
+        admitted = 0
+        for chunk in range(4):
+            ids = np.arange(chunk * 4000, (chunk + 1) * 4000, dtype=np.int64)
+            fids = np.repeat(ids, reps).reshape(-1, reps)  # each id x reps
+            _, stats = eng.prepare_batch({"f": fids}, ts=1)
+            admitted += stats["new"]["t"]
+        assert abs(admitted / n - reps / thr) < 0.03
 
     def test_no_filter_admits_everything(self):
         s = HostStore(row_capacity=10)
