@@ -80,6 +80,16 @@ class EngineConfig:
     # process only allocates host stores for its own shards — a v5e host
     # with 4 of 256 chips must not hold 256 shard maps.
     local_shards: Optional[Tuple[int, ...]] = None
+    # 1-step-stale pipelined embeddings (ref enable_async_optimize,
+    # cpu_training.py:488 + prefetch_queue.py pipeline): in block dispatch, step
+    # i's forward gathers rows BEFORE step i-1's write-back scatter lands,
+    # removing the scatter->gather serialization between scanned steps so
+    # XLA overlaps the (sequential, ~170ns/row) scatter with the next
+    # step's compute. The optimize still runs on the LATEST rows (a second
+    # gather), so updates are never lost; ids read by the forward may be
+    # one step stale — pair hot segments with the DC optimizer
+    # (dc_optimizer.cc:30-44) to compensate. Packed tables + block path.
+    async_optimize: bool = False
 
     @property
     def effective_bucket_cap(self) -> int:
@@ -675,6 +685,44 @@ class EmbeddingEngine:
                 lambda st, rows, v, k: table_lib.scatter_packed(
                     spec, st, rows, v, key=k)
             )(states[tname], jnp.asarray(tin["rows"]), new_p, skeys)
+        return out
+
+    def optimize_rows(self, inputs: Dict, prows_latest: Dict,
+                      unique_grads: Dict[str, jnp.ndarray], step,
+                      prows_stale: Optional[Dict] = None) -> Dict:
+        """Optimize gathered packed rows WITHOUT scattering (the
+        async_optimize pipeline defers the write-back one scan iteration).
+        `prows_stale`: rows the forward used, fed to DC-style optimizers."""
+        S, U = self.config.num_shards, self.config.unique_cap
+        out = {}
+        for tname in sorted(inputs):
+            spec = self.tables[tname]
+            g = unique_grads[tname].reshape(S, U, spec.dim)
+            if prows_stale is None:
+                out[tname] = jax.vmap(
+                    lambda p, gg: table_lib.optimize_packed(spec, p, gg, step)
+                )(prows_latest[tname], g)
+            else:
+                out[tname] = jax.vmap(
+                    lambda p, gg, st: table_lib.optimize_packed(
+                        spec, p, gg, step, stale=st)
+                )(prows_latest[tname], g, prows_stale[tname])
+        return out
+
+    def scatter_rows(self, states: Dict, rows: Dict[str, jnp.ndarray],
+                     values: Dict[str, jnp.ndarray], step) -> Dict:
+        """ONE scatter per table of full packed rows (-1 rows drop) — the
+        deferred write-back of the async_optimize pipeline."""
+        out = dict(states)
+        for i, tname in enumerate(sorted(rows)):
+            spec = self.tables[tname]
+            tkey = jax.random.fold_in(jax.random.fold_in(
+                jax.random.PRNGKey(2), step), i)
+            skeys = jax.random.split(tkey, self.config.num_shards)
+            out[tname] = jax.vmap(
+                lambda st, r, v, k: table_lib.scatter_packed(spec, st, r, v,
+                                                             key=k)
+            )(states[tname], jnp.asarray(rows[tname]), values[tname], skeys)
         return out
 
     def lookup_unique(self, states: Dict, inputs: Dict) -> Dict[str, jnp.ndarray]:

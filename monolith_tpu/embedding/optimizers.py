@@ -341,10 +341,13 @@ class BatchSoftmax(RowOptimizer):
 @dataclasses.dataclass(frozen=True)
 class DC(RowOptimizer):
     """Delta-compensation gradient decorator (ref: dc_optimizer.cc:30-44):
-    g' = g + lambda * g^2 * (stale_param - latest_param), then delegates to a
-    base optimizer. On TPU lookup and update happen in the same step so
-    staleness only arises with pipelined (1-step stale) embeddings; the
-    compensated gradient uses the provided stale params."""
+    g' = g + lambda * g^2 * (stale_param - latest_param), then delegates to
+    a base optimizer. Staleness arises in the 1-step-stale pipelined
+    embedding mode (EngineConfig.async_optimize: the forward reads rows
+    BEFORE the previous step's write-back lands, so XLA can overlap that
+    scatter with the next step's compute); there the block step calls
+    `stale_apply` with the rows the forward actually used. In synchronous
+    steps staleness is zero and DC degenerates to its base optimizer."""
     learning_rate: float = 0.01
     lambda_: float = 0.0
     base: RowOptimizer = dataclasses.field(default_factory=lambda: SGD())
@@ -356,6 +359,10 @@ class DC(RowOptimizer):
         if stale_p is not None:
             g = g + self.lambda_ * g * g * (stale_p - p)
         return self.base.apply(p, slots, g, lr, step)
+
+    def stale_apply(self, p, slots, g, lr, step, stale_p):
+        """optimize_packed's hook for the async_optimize pipeline."""
+        return self.apply(p, slots, g, lr, step, stale_p=stale_p)
 
 
 NAMED_OPTIMIZERS = {

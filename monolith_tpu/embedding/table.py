@@ -80,6 +80,11 @@ def packed_width(spec: TableSpec) -> int:
     return _layout(spec)[0]
 
 
+def packed_padded_width(spec: TableSpec) -> int:
+    """Physical packed-row width (padded to 128 lanes)."""
+    return _layout(spec)[1]
+
+
 def _sanitize(rows: jnp.ndarray, capacity: int) -> jnp.ndarray:
     """Map negative sentinel rows to a genuinely out-of-bounds index."""
     return jnp.where(rows < 0, jnp.int32(capacity), rows.astype(jnp.int32))
@@ -166,10 +171,15 @@ def params_of(spec: TableSpec, packed: jnp.ndarray) -> jnp.ndarray:
 
 
 def optimize_packed(spec: TableSpec, packed: jnp.ndarray, grads: jnp.ndarray,
-                    step: jnp.ndarray) -> jnp.ndarray:
+                    step: jnp.ndarray, stale: jnp.ndarray = None) -> jnp.ndarray:
     """Pure row math: apply each segment's optimizer to gathered packed rows
     (ref BatchOptimize, embedding_hash_table_interface.h:73). Returns the
-    new packed rows; the caller scatters them once."""
+    new packed rows; the caller scatters them once.
+
+    `stale`: in the 1-step-stale pipelined mode (async_optimize), the rows
+    the FORWARD actually used — segments whose optimizer supports delta
+    compensation (DC, ref dc_optimizer.cc:30-44 OptimizeWithLatestValue)
+    receive them as stale_p to compensate the gradient."""
     _, padded, slot_offs = _layout(spec)
     new_p, new_slots = [], {}
     off = 0
@@ -181,7 +191,13 @@ def optimize_packed(spec: TableSpec, packed: jnp.ndarray, grads: jnp.ndarray,
             o, k, _ = slot_offs[(i, name)]
             gathered[name] = packed[..., o:o + k]
         lr = seg.learning_rate(step)
-        p_new, slots_new = seg.optimizer.apply(p_seg, gathered, g_seg, lr, step)
+        if stale is not None and hasattr(seg.optimizer, "stale_apply"):
+            p_new, slots_new = seg.optimizer.stale_apply(
+                p_seg, gathered, g_seg, lr, step,
+                stale[..., off:off + seg.dim])
+        else:
+            p_new, slots_new = seg.optimizer.apply(p_seg, gathered, g_seg,
+                                                   lr, step)
         new_p.append(p_new)
         for name, val in slots_new.items():
             new_slots[(i, name)] = val

@@ -258,6 +258,8 @@ class Trainer:
         chips) is amortized K-fold. The TPU-native form of the reference's
         software pipelining (ref prefetch_queue.py:291,
         cpu_training.py:471-489 enable_pipelined_fwda2a/bwda2a)."""
+        if self.config.engine.async_optimize and self.engine.packed:
+            return self._build_step_block_async(layout, engine_words, K)
         engine = self.engine
         core = self._step_core()
 
@@ -274,6 +276,87 @@ class Trainer:
             carry = (table_states, params, model_state, opt_state, metrics)
             (ts_, p_, ms_, os_, metrics), (losses, preds, auxes) = \
                 jax.lax.scan(body, carry, wires)
+            return ts_, p_, ms_, os_, metrics, losses, preds, auxes
+
+        return jax.jit(block_fn, donate_argnums=(0, 1, 2, 3, 4))
+
+    def _build_step_block_async(self, layout, engine_words, K):
+        """Block dispatch with 1-step-stale pipelined embeddings (ref
+        enable_async_optimize, cpu_training.py:488). Schedule per scan
+        iteration i:
+
+          1. gather step i's rows        (STALE: step i-1's write-back has
+                                          not landed — no data dependency,
+                                          so XLA overlaps 2 with fwd/bwd)
+          2. scatter step i-1's pending write-back
+          3. forward/backward on the stale rows; dense update
+          4. re-gather step i's rows     (fresh: includes step i-1's update)
+          5. optimize the FRESH rows — updates are never lost; DC segments
+             receive the stale rows to compensate the gradient
+             (dc_optimizer.cc:30-44) — and defer the scatter to i+1
+
+        The final pending scatter lands after the scan. Numerics differ
+        from the synchronous block only for ids read in consecutive steps
+        (their forward saw 1-step-stale values)."""
+        import jax.numpy as jnp
+
+        from monolith_tpu.embedding import table as table_lib
+        engine, task, cfg = self.engine, self.task, self.config
+        S, U = cfg.engine.num_shards, cfg.engine.unique_cap
+        specs = engine.tables
+
+        def zero_pending():
+            return {t: (jnp.full((S, U), -1, jnp.int32),
+                        jnp.zeros((S, U, table_lib.packed_padded_width(sp)),
+                                  jnp.float32))
+                    for t, sp in specs.items() if engine.table_features[t]}
+
+        def block_fn(table_states, params, model_state, opt_state, metrics,
+                     wires, base_key):
+            def body(carry, wire):
+                ts_, p_, ms_, os_, m_, pending = carry
+                inputs, batch, stepno = Trainer._decode_full_wire(
+                    engine, wire, layout, engine_words)
+                prows_stale, unique_stale = engine.fused_lookup(
+                    ts_, inputs, base_key, stepno)
+                ts_ = engine.scatter_rows(
+                    ts_, {t: r for t, (r, _) in pending.items()},
+                    {t: v for t, (_, v) in pending.items()}, stepno)
+
+                def loss_fn(params, unique):
+                    retrieved = engine.retrieve_unique(unique, stepno)
+                    pooled = engine.pool_features(retrieved, inputs)
+                    out, new_ms = self._apply(params, ms_, pooled, batch,
+                                              training=True)
+                    loss, aux = task.loss(out, batch)
+                    return loss, (out, aux, new_ms)
+
+                (loss, (out, aux, new_ms)), (gp, gu) = jax.value_and_grad(
+                    loss_fn, argnums=(0, 1), has_aux=True)(p_, unique_stale)
+                if cfg.clip_norm > 0:
+                    gp, _ = clip_by_global_norm(gp, cfg.clip_norm)
+                updates, os_ = self.tx.update(gp, os_, p_)
+                p_ = optax.apply_updates(p_, updates)
+
+                prows_latest, _ = engine.fused_lookup(ts_, inputs, base_key,
+                                                      stepno)
+                new_p = engine.optimize_rows(inputs, prows_latest, gu,
+                                             stepno, prows_stale=prows_stale)
+                pending = {t: (jnp.asarray(inputs[t]["rows"]), new_p[t])
+                           for t in new_p}
+                preds = task.predictions(out)
+                m_ = self._metrics_step(m_, loss, preds, batch)
+                return (ts_, p_, new_ms, os_, m_, pending), (loss, preds,
+                                                             aux)
+
+            carry = (table_states, params, model_state, opt_state, metrics,
+                     zero_pending())
+            (ts_, p_, ms_, os_, metrics, pending), (losses, preds, auxes) = \
+                jax.lax.scan(body, carry, wires)
+            # the last step's write-back lands after the scan
+            ts_ = engine.scatter_rows(
+                ts_, {t: r for t, (r, _) in pending.items()},
+                {t: v for t, (_, v) in pending.items()}, jnp.int32(0))
             return ts_, p_, ms_, os_, metrics, losses, preds, auxes
 
         return jax.jit(block_fn, donate_argnums=(0, 1, 2, 3, 4))

@@ -5,6 +5,7 @@ features, admission, expiry, save/restore — :297-418)."""
 
 import itertools
 
+import jax
 import numpy as np
 import pytest
 
@@ -227,3 +228,130 @@ class TestDeviceMetrics:
         assert 0.0 < res["auc"] < 1.0
         assert res["loss"] > 0
         assert tr.loss_mean.count == 9  # every step counted exactly once
+
+
+class TestAsyncOptimize:
+    """1-step-stale pipelined embeddings (EngineConfig.async_optimize, ref
+    enable_async_optimize cpu_training.py:488): the forward reads rows
+    before the previous step's write-back lands; the optimize runs on the
+    fresh rows so updates are never lost; DC compensates stale gradients."""
+
+    def _run(self, pairs, async_mode, dc_lambda=None, seed=9):
+        import dataclasses as dc
+
+        from monolith_tpu.embedding import optimizers
+        from monolith_tpu.embedding.engine import EngineConfig
+        from monolith_tpu.models.deepfm import DeepFMTask
+        from monolith_tpu.training.trainer import Trainer, TrainerConfig
+
+        task = DeepFMTask(embedding_dim=8, capacity_per_shard=2048,
+                          hidden=(16,), init_scale=0.0)
+        if dc_lambda is not None:
+            base_tables = task.tables()
+
+            class DCTask(DeepFMTask):
+                def tables(self):
+                    t = base_tables[0]
+                    segs = tuple(
+                        dc.replace(s, optimizer=optimizers.DC(
+                            lambda_=dc_lambda, base=s.optimizer))
+                        for s in t.segments)
+                    return [dc.replace(t, segments=segs)]
+
+            task = DCTask(embedding_dim=8, capacity_per_shard=2048,
+                          hidden=(16,), init_scale=0.0)
+        tr = Trainer(task, TrainerConfig(
+            engine=EngineConfig(unique_cap=256, new_cap=256,
+                                async_optimize=async_mode),
+            log_every=0, seed=seed, steps_per_dispatch=len(pairs)))
+        tr.train_step(*pairs[0])           # init (single, synchronous)
+        tr.train_step_block(pairs[1:])
+        return tr
+
+    @staticmethod
+    def _pairs(id_sets, batch=16):
+        rng = np.random.default_rng(0)
+        pairs = []
+        for ids in id_sets:
+            uid = rng.choice(ids, size=(batch, 1))
+            iid = rng.choice(ids, size=(batch, 1))
+            hist = rng.choice(ids, size=(batch, 10))
+            fb = {"user_id": uid.astype(np.int64),
+                  "item_id": iid.astype(np.int64),
+                  "hist_items": hist.astype(np.int64)}
+            b = {"label": rng.integers(0, 2, batch).astype(np.float32)}
+            pairs.append((fb, b))
+        return pairs
+
+    def test_disjoint_steps_match_sync_exactly(self):
+        # no id appears in two consecutive steps -> zero staleness -> the
+        # async pipeline must be bit-identical to the synchronous block
+        sets = [np.arange(100 * k, 100 * k + 50) for k in range(5)]
+        pairs = self._pairs(sets)
+        t_sync = self._run(pairs, async_mode=False)
+        t_async = self._run(pairs, async_mode=True)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(a, b),
+            t_sync.table_states, t_async.table_states)
+        jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, b),
+                     t_sync.params, t_async.params)
+
+    def test_overlap_never_loses_updates_and_dc_engages(self):
+        # same ids every step: forward is stale but optimize must see the
+        # previous step's update (no lost writes), and DC(lambda>0) must
+        # change the trajectory vs lambda=0
+        sets = [np.arange(0, 50)] * 5
+        pairs = self._pairs(sets)
+        t_sync = self._run(pairs, async_mode=False)
+        t0 = self._run(pairs, async_mode=True, dc_lambda=0.0)
+        # lambda large enough that the second-order correction term
+        # (lambda * g^2 * (stale - latest)) is visible in f32
+        t1 = self._run(pairs, async_mode=True, dc_lambda=1e4)
+
+        def pool(tr):
+            return np.asarray(tr.table_states["sparse"]["data"])
+
+        # updates accumulated across all steps (not clobbered): the async
+        # run's pool differs from sync only via staleness, not lost steps —
+        # magnitudes stay comparable
+        moved_sync = np.abs(pool(t_sync)).sum()
+        moved_async = np.abs(pool(t0)).sum()
+        assert moved_async > 0.5 * moved_sync
+        # DC compensation engaged
+        assert not np.allclose(pool(t0), pool(t1))
+        assert np.isfinite(pool(t1)).all()
+
+
+    def test_dc_stale_apply_formula(self):
+        """optimize_packed with stale rows applies the reference DC formula
+        g' = g + lambda*g^2*(stale - latest) (dc_optimizer.cc:38-40)."""
+        import jax.numpy as jnp
+
+        from monolith_tpu.embedding import initializers, optimizers
+        from monolith_tpu.embedding import table as table_lib
+        from monolith_tpu.embedding.spec import TableSegment, TableSpec
+
+        lam, lr = 0.5, 1.0
+        spec = TableSpec(
+            name="t", capacity_per_shard=8,
+            segments=(TableSegment(
+                dim=4, optimizer=optimizers.DC(
+                    learning_rate=lr, lambda_=lam,
+                    base=optimizers.SGD(learning_rate=lr)),
+                initializer=initializers.Zeros()),))
+        P = table_lib.packed_padded_width(spec)
+        rng = np.random.default_rng(0)
+        latest = jnp.asarray(rng.normal(size=(3, P)).astype(np.float32))
+        stale = jnp.asarray(rng.normal(size=(3, P)).astype(np.float32))
+        g = jnp.asarray(rng.normal(size=(3, 4)).astype(np.float32))
+        out = table_lib.optimize_packed(spec, latest, g, jnp.int32(0),
+                                        stale=stale)
+        g_comp = g + lam * g * g * (stale[:, :4] - latest[:, :4])
+        np.testing.assert_allclose(np.asarray(out[:, :4]),
+                                   np.asarray(latest[:, :4] - lr * g_comp),
+                                   rtol=1e-5)
+        # without stale, DC degenerates to its base optimizer
+        out2 = table_lib.optimize_packed(spec, latest, g, jnp.int32(0))
+        np.testing.assert_allclose(np.asarray(out2[:, :4]),
+                                   np.asarray(latest[:, :4] - lr * g),
+                                   rtol=1e-5)
