@@ -112,6 +112,20 @@ class EngineConfig:
         return np.int32
 
 
+def _per_shard(fn, *args):
+    """vmap(fn) over the leading shard axis — or a DIRECT call when that
+    axis is 1. The direct path matters: the packed write-back uses a Pallas
+    DMA scatter (ops/scatter.py) that must not trace under vmap (no
+    batching rule), and single-shard is the common single-chip case. `fn`
+    must accept an `unbatched` keyword and forward it to the table ops."""
+    import functools
+    lead = jax.tree.leaves(args)[0].shape[0]
+    if lead == 1:
+        sliced = jax.tree.map(lambda x: x[0], args)
+        return jax.tree.map(lambda x: x[None], fn(*sliced, unbatched=True))
+    return jax.vmap(functools.partial(fn, unbatched=False))(*args)
+
+
 class EmbeddingEngine:
     """Owns host state (stores/batchers) and builds pure device functions."""
 
@@ -183,10 +197,12 @@ class EmbeddingEngine:
             streams = [np.ascontiguousarray(fid_batch[f.name], dtype=np.int64)
                        for f in feats]
             flat = np.concatenate([s.ravel() for s in streams])
-            # probabilistic admission consumes per-id batch occurrence
-            # counts (ref ShouldBeFiltered's count arg)
+            # admission filters consume per-id batch occurrence counts (ref
+            # ShouldBeFiltered's count arg): the sliding filter adds the
+            # full batch count to its window, probabilistic modes scale
+            # their admit probability by it
             occ = None
-            if self.tables[tname].admission.kind.startswith("probabilistic"):
+            if self.tables[tname].admission.kind != "none":
                 unique, index, counts, occ, overflow = \
                     self.batchers[tname].dedup_counts(flat, num_shards=S,
                                                       shard_cap=U)
@@ -451,17 +467,20 @@ class EmbeddingEngine:
             tkey = jax.random.fold_in(key, i)
             skeys = jax.random.split(tkey, self.config.num_shards)
             if "new_mask" in tin:
-                def per_shard(st, rows, mask, k):
-                    p = table_lib.gather_packed(spec, st, rows)
+                def per_shard(st, rows, mask, k, unbatched):
+                    p = table_lib.gather_packed(spec, st, rows,
+                                                unbatched=unbatched)
                     init = table_lib.init_packed(spec, k, rows.shape[0])
                     p = jnp.where((mask > 0)[:, None], init, p)
-                    return table_lib.scatter_packed(spec, st, rows, p)
-                out[tname] = jax.vmap(per_shard)(
-                    states[tname], jnp.asarray(tin["rows"]),
+                    return table_lib.scatter_packed(spec, st, rows, p,
+                                                    unbatched=unbatched)
+                out[tname] = _per_shard(
+                    per_shard, states[tname], jnp.asarray(tin["rows"]),
                     jnp.asarray(tin["new_mask"]), skeys)
                 if "revive_pos" in tin:
-                    def overlay(st, rows, pos, vals, mask):
-                        p = table_lib.gather_packed(spec, st, rows)
+                    def overlay(st, rows, pos, vals, mask, unbatched):
+                        p = table_lib.gather_packed(spec, st, rows,
+                                                    unbatched=unbatched)
                         safe = jnp.where(pos < 0, jnp.int32(p.shape[0]),
                                          pos.astype(jnp.int32))
                         full = jnp.zeros((vals.shape[0], p.shape[1]),
@@ -469,23 +488,26 @@ class EmbeddingEngine:
                                          ).at[:, :vals.shape[1]].set(vals)
                         p = p.at[safe].set(full, mode="drop",
                                            unique_indices=True)
-                        return table_lib.scatter_packed(spec, st, rows, p)
-                    out[tname] = jax.vmap(overlay)(
-                        out[tname], jnp.asarray(tin["rows"]),
+                        return table_lib.scatter_packed(spec, st, rows, p,
+                                                        unbatched=unbatched)
+                    out[tname] = _per_shard(
+                        overlay, out[tname], jnp.asarray(tin["rows"]),
                         jnp.asarray(tin["revive_pos"]),
                         jnp.asarray(tin["revive_values"]),
                         jnp.asarray(tin["new_mask"]))
                 continue
             new_rows = self.new_rows_from(jnp.asarray(tin["rows"]), tin)
-            st = jax.vmap(
-                lambda st, rows, k: table_lib.init_rows(spec, st, rows, k)
-            )(states[tname], new_rows, skeys)
+            st = _per_shard(
+                lambda st, rows, k, unbatched: table_lib.init_rows(
+                    spec, st, rows, k, unbatched=unbatched),
+                states[tname], new_rows, skeys)
             if "revive_rows" in tin:
-                st = jax.vmap(
-                    lambda st, rows, vals: table_lib.restore_packed_rows(
-                        spec, st, rows, vals)
-                )(st, jnp.asarray(tin["revive_rows"]),
-                  jnp.asarray(tin["revive_values"]))
+                st = _per_shard(
+                    lambda st, rows, vals, unbatched:
+                    table_lib.restore_packed_rows(spec, st, rows, vals,
+                                                  unbatched=unbatched),
+                    st, jnp.asarray(tin["revive_rows"]),
+                    jnp.asarray(tin["revive_values"]))
             out[tname] = st
         return out
 
@@ -643,13 +665,15 @@ class EmbeddingEngine:
             tkey = jax.random.fold_in(jax.random.fold_in(key, step), i)
             skeys = jax.random.split(tkey, S)
 
-            def per_shard(st, rows, mask, k):
-                p = table_lib.gather_packed(spec, st, rows)
+            def per_shard(st, rows, mask, k, unbatched):
+                p = table_lib.gather_packed(spec, st, rows,
+                                            unbatched=unbatched)
                 init = table_lib.init_packed(spec, k, rows.shape[0])
                 return jnp.where((mask > 0)[:, None], init, p)
 
-            p = jax.vmap(per_shard)(states[tname], jnp.asarray(tin["rows"]),
-                                    jnp.asarray(tin["new_mask"]), skeys)
+            p = _per_shard(per_shard, states[tname],
+                           jnp.asarray(tin["rows"]),
+                           jnp.asarray(tin["new_mask"]), skeys)
             if "revive_pos" in tin:
                 def overlay(p, pos, vals):
                     safe = jnp.where(pos < 0, jnp.int32(p.shape[0]),
@@ -681,10 +705,10 @@ class EmbeddingEngine:
             tkey = jax.random.fold_in(jax.random.fold_in(
                 jax.random.PRNGKey(1), step), i)
             skeys = jax.random.split(tkey, S)
-            out[tname] = jax.vmap(
-                lambda st, rows, v, k: table_lib.scatter_packed(
-                    spec, st, rows, v, key=k)
-            )(states[tname], jnp.asarray(tin["rows"]), new_p, skeys)
+            out[tname] = _per_shard(
+                lambda st, rows, v, k, unbatched: table_lib.scatter_packed(
+                    spec, st, rows, v, key=k, unbatched=unbatched),
+                states[tname], jnp.asarray(tin["rows"]), new_p, skeys)
         return out
 
     def optimize_rows(self, inputs: Dict, prows_latest: Dict,
@@ -719,10 +743,10 @@ class EmbeddingEngine:
             tkey = jax.random.fold_in(jax.random.fold_in(
                 jax.random.PRNGKey(2), step), i)
             skeys = jax.random.split(tkey, self.config.num_shards)
-            out[tname] = jax.vmap(
-                lambda st, r, v, k: table_lib.scatter_packed(spec, st, r, v,
-                                                             key=k)
-            )(states[tname], jnp.asarray(rows[tname]), values[tname], skeys)
+            out[tname] = _per_shard(
+                lambda st, r, v, k, unbatched: table_lib.scatter_packed(
+                    spec, st, r, v, key=k, unbatched=unbatched),
+                states[tname], jnp.asarray(rows[tname]), values[tname], skeys)
         return out
 
     def lookup_unique(self, states: Dict, inputs: Dict) -> Dict[str, jnp.ndarray]:
@@ -730,8 +754,10 @@ class EmbeddingEngine:
         out = {}
         for tname, tin in inputs.items():
             spec = self.tables[tname]
-            emb = jax.vmap(lambda st, rows: table_lib.lookup(spec, st, rows)
-                           )(states[tname], jnp.asarray(tin["rows"]))
+            emb = _per_shard(
+                lambda st, rows, unbatched: table_lib.lookup(
+                    spec, st, rows, unbatched=unbatched),
+                states[tname], jnp.asarray(tin["rows"]))
             out[tname] = emb.reshape(-1, spec.dim)
         return out
 
@@ -789,10 +815,10 @@ class EmbeddingEngine:
             tkey = jax.random.fold_in(jax.random.fold_in(
                 jax.random.PRNGKey(1), step), i)
             skeys = jax.random.split(tkey, self.config.num_shards)
-            out[tname] = jax.vmap(
-                lambda st, rows, gg, k: table_lib.apply_gradients(
-                    spec, st, rows, gg, step, key=k)
-            )(states[tname], jnp.asarray(tin["rows"]), g, skeys)
+            out[tname] = _per_shard(
+                lambda st, rows, gg, k, unbatched: table_lib.apply_gradients(
+                    spec, st, rows, gg, step, key=k, unbatched=unbatched),
+                states[tname], jnp.asarray(tin["rows"]), g, skeys)
         return out
 
     # convenience: full differentiable embed step ----------------------

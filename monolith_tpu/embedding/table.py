@@ -137,22 +137,38 @@ def init_packed(spec: TableSpec, key: jax.Array, n: int) -> jnp.ndarray:
 # ----------------------------------------------------------------------
 
 def gather_packed(spec: TableSpec, state: TableState,
-                  rows: jnp.ndarray) -> jnp.ndarray:
+                  rows: jnp.ndarray, unbatched: bool = True) -> jnp.ndarray:
     """Gather full packed rows [n, P] as f32; -1 rows read zeros. bf16
-    pools upcast after the gather so all row math runs in f32."""
+    pools upcast after the gather so all row math runs in f32. On TPU,
+    unbatched calls use the pipelined row-DMA kernel (ops/scatter.py) —
+    XLA's gather row-loops serially like its scatter."""
+    if unbatched and rows.ndim == 1:
+        from monolith_tpu.ops.scatter import (gather_rows,
+                                              pallas_scatter_enabled)
+        if pallas_scatter_enabled():
+            out = gather_rows(state["data"], rows.astype(jnp.int32))
+            out = jnp.where((rows >= 0)[:, None], out, 0)
+            return out.astype(jnp.float32)
     rows = _sanitize(rows, spec.capacity_per_shard)
     out = state["data"].at[rows].get(mode="fill", fill_value=0)
     return out.astype(jnp.float32)
 
 
 def scatter_packed(spec: TableSpec, state: TableState, rows: jnp.ndarray,
-                   values: jnp.ndarray, key=None) -> TableState:
+                   values: jnp.ndarray, key=None,
+                   unbatched: bool = True) -> TableState:
     """Write full packed rows; -1 rows dropped. THE one scatter per step.
     f32 values are narrowed to a bf16 pool stochastically when
     spec.stochastic_rounding is set and a PRNG `key` is given (so sub-ulp
     optimizer updates accumulate in expectation); round-to-nearest
-    otherwise (init/assign/restore of values that were never wider)."""
-    rows = _sanitize(rows, spec.capacity_per_shard)
+    otherwise (init/assign/restore of values that were never wider).
+
+    On TPU the scatter runs as a pipelined per-row DMA kernel
+    (ops/scatter.py) — XLA's scatter is a serial per-index loop and was the
+    single largest device cost of the step (PERF.md); the kernel is ~100x
+    faster at unique_cap 32768. `unbatched=False` (callers tracing under
+    vmap — a tracer's ndim can't reveal that) and CPU backends keep the
+    XLA path; the engine skips vmap entirely for single-shard tables."""
     pool = state["data"]
     if pool.dtype != values.dtype:
         if spec.stochastic_rounding and key is not None and \
@@ -161,6 +177,13 @@ def scatter_packed(spec: TableSpec, state: TableState, rows: jnp.ndarray,
             values = stochastic_round_bf16(values, key)
         else:
             values = values.astype(pool.dtype)
+    if unbatched and rows.ndim == 1:
+        from monolith_tpu.ops.scatter import (pallas_scatter_enabled,
+                                              scatter_rows)
+        if pallas_scatter_enabled():
+            return {"data": scatter_rows(pool, rows.astype(jnp.int32),
+                                         values)}
+    rows = _sanitize(rows, spec.capacity_per_shard)
     return {"data": pool.at[rows].set(values, mode="drop",
                                       unique_indices=True)}
 
@@ -214,23 +237,26 @@ def optimize_packed(spec: TableSpec, packed: jnp.ndarray, grads: jnp.ndarray,
 # generic API (both modes) — lookup / init / optimize / assign / restore
 # ----------------------------------------------------------------------
 
-def lookup(spec: TableSpec, state: TableState, rows: jnp.ndarray) -> jnp.ndarray:
+def lookup(spec: TableSpec, state: TableState, rows: jnp.ndarray,
+           unbatched: bool = True) -> jnp.ndarray:
     """Gather rows ([n] int32, -1 -> zeros) as [n, dim] float32."""
     if "data" in state:
-        return params_of(spec, gather_packed(spec, state, rows))
+        return params_of(spec, gather_packed(spec, state, rows,
+                                             unbatched=unbatched))
     rows = _sanitize(rows, spec.capacity_per_shard)
     emb = state["params"].at[rows].get(mode="fill", fill_value=0)
     return emb.astype(jnp.float32)
 
 
 def init_rows(spec: TableSpec, state: TableState, rows: jnp.ndarray,
-              key: jax.Array) -> TableState:
+              key: jax.Array, unbatched: bool = True) -> TableState:
     """Initialize newly-admitted (or recycled) rows: initializer values for
     params and RESET optimizer slots — critical when a row is recycled after
     eviction so the new id doesn't inherit stale accumulator state."""
     k = rows.shape[0]
     if "data" in state:
-        return scatter_packed(spec, state, rows, init_packed(spec, key, k))
+        return scatter_packed(spec, state, rows, init_packed(spec, key, k),
+                              unbatched=unbatched)
     rows = _sanitize(rows, spec.capacity_per_shard)
     seg_keys = jax.random.split(key, max(len(spec.segments), 1))
     pieces = [seg.initializer.init(seg_keys[i], (k, seg.dim))
@@ -251,19 +277,20 @@ def init_rows(spec: TableSpec, state: TableState, rows: jnp.ndarray,
 
 def apply_gradients(spec: TableSpec, state: TableState, rows: jnp.ndarray,
                     grads: jnp.ndarray, step: jnp.ndarray,
-                    key: jax.Array = None) -> TableState:
+                    key: jax.Array = None,
+                    unbatched: bool = True) -> TableState:
     """Per-segment per-row optimize (ref BatchOptimize). `rows` [m] must be
     unique; -1 entries drop. `grads` [m, dim] are summed per unique row.
     `key` seeds the stochastic bf16 write-back; callers that vmap over
     shards/tables must pass distinct keys so rounding noise stays
     independent (the in-expectation accumulation argument needs it)."""
     if "data" in state:
-        packed = gather_packed(spec, state, rows)
+        packed = gather_packed(spec, state, rows, unbatched=unbatched)
         if key is None:
             key = jax.random.fold_in(jax.random.PRNGKey(0), step)
         return scatter_packed(spec, state, rows,
                               optimize_packed(spec, packed, grads, step),
-                              key=key)
+                              key=key, unbatched=unbatched)
     rows = _sanitize(rows, spec.capacity_per_shard)
     p = state["params"].at[rows].get(mode="fill", fill_value=0).astype(jnp.float32)
     new_p_pieces = []
@@ -293,19 +320,21 @@ def apply_gradients(spec: TableSpec, state: TableState, rows: jnp.ndarray,
 
 
 def assign_rows(spec: TableSpec, state: TableState, rows: jnp.ndarray,
-                values: jnp.ndarray) -> TableState:
+                values: jnp.ndarray, unbatched: bool = True) -> TableState:
     """Directly write embedding values (ref Assign — restore / param-sync)."""
     if "data" in state:
-        packed = gather_packed(spec, state, rows)
+        packed = gather_packed(spec, state, rows, unbatched=unbatched)
         packed = packed.at[..., :spec.dim].set(values.astype(jnp.float32))
-        return scatter_packed(spec, state, rows, packed)
+        return scatter_packed(spec, state, rows, packed,
+                              unbatched=unbatched)
     rows = _sanitize(rows, spec.capacity_per_shard)
     params = state["params"].at[rows].set(values.astype(spec.dtype), mode="drop")
     return {"params": params, "slots": state["slots"]}
 
 
 def restore_packed_rows(spec: TableSpec, state: TableState, rows: jnp.ndarray,
-                        packed: jnp.ndarray) -> TableState:
+                        packed: jnp.ndarray,
+                        unbatched: bool = True) -> TableState:
     """Write full row state (params + optimizer slots) from a packed
     [k, width] value matrix — the two-tier revive path. Column layout is
     the packed layout (params, then per-segment slots in sorted-name
@@ -314,7 +343,7 @@ def restore_packed_rows(spec: TableSpec, state: TableState, rows: jnp.ndarray,
         _, padded, _ = _layout(spec)
         k, w = packed.shape
         full = jnp.zeros((k, padded), jnp.float32).at[:, :w].set(packed)
-        return scatter_packed(spec, state, rows, full)
+        return scatter_packed(spec, state, rows, full, unbatched=unbatched)
     rows = _sanitize(rows, spec.capacity_per_shard)
     off = spec.dim
     params = state["params"].at[rows].set(

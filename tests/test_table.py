@@ -271,3 +271,30 @@ class TestJitted:
                              jax.random.PRNGKey(0), jnp.int32(0))
         np.testing.assert_allclose(np.asarray(emb[:2]), 1.0)
         np.testing.assert_allclose(np.asarray(emb[2]), 0.0)
+
+
+class TestPallasRowDMA:
+    """DMA gather/scatter kernels (ops/scatter.py). The CI mesh is CPU-only
+    (kernels disabled there — XLA paths cover numerics); these run when the
+    suite executes on a real TPU, and the bench/verify flow exercises them
+    in the full train step."""
+
+    @pytest.mark.skipif(jax.default_backend() == "cpu",
+                        reason="pallas TPU kernels; CPU uses the XLA path")
+    def test_scatter_gather_match_xla(self):
+        from monolith_tpu.ops.scatter import gather_rows, scatter_rows
+        rng = np.random.default_rng(0)
+        cap, P, U = 4096, 128, 512
+        rows_np = rng.choice(cap, size=U, replace=False).astype(np.int32)
+        rows_np[::5] = -1
+        rows = jnp.asarray(rows_np)
+        values = jnp.asarray(rng.normal(size=(U, P)).astype(np.float32))
+        pool = jnp.asarray(rng.normal(size=(cap, P)).astype(np.float32))
+        safe = jnp.where(rows < 0, cap, rows)
+        ref = pool.at[safe].set(values, mode="drop", unique_indices=True)
+        out = scatter_rows(pool, rows, values)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+        g = gather_rows(out, jnp.maximum(rows, 0))
+        np.testing.assert_array_equal(
+            np.asarray(jnp.where((rows >= 0)[:, None], g, 0)),
+            np.asarray(ref.at[safe].get(mode="fill", fill_value=0)))
