@@ -1,30 +1,56 @@
-"""Benchmark: DeepFM CTR training throughput on one chip.
+"""Benchmark: CTR training throughput on one chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+Two configs (MT_BENCH_CONFIG env var):
+  deepfm    (default) flagship single-table DeepFM — batch 8192, 3 sparse
+            features, 17-dim rows, 256-128-64 tower.
+  multislot production-shaped many-slot model — 16 tables + history table,
+            40 scalar slots + one 20-long DIN-attended sequence, batch
+            8192 (the reference's dozens-of-slots workload; exercises the
+            thread-pooled multi-table host prepare).
+
 The reference publishes no benchmark numbers (BASELINE.md); vs_baseline is
-measured against a nominal 100k examples/sec/chip target for this model size
-(batch 4096, 3 sparse features, 17-dim rows, 256-128-64 dense tower) so the
-number is comparable across rounds.
+measured against a nominal 100k examples/sec/chip target so the number is
+comparable across rounds. Results for whichever config ran are also
+appended to BENCH_DETAILS.json.
+
+Methodology: the timed region is one long async chain (K steps per device
+dispatch, single block_until_ready at the end) — the steady-state
+production pattern where host pack of step N+1 overlaps device execution
+of step N. No device->host readback happens anywhere (the first readback
+permanently degrades the tunnel transport ~3.5x, PERF.md); metric state
+accumulates on device. Best-of-N windows because the shared host/chip
+shows up-to-3x co-tenant interference swings.
 """
 
 import json
+import os
 import time
 
 import jax
 
-import numpy as np
-
 NOMINAL_BASELINE_EPS = 100_000.0  # examples/sec nominal target
 
 
-def main():
-    # persistent compile cache: repeat runs skip the ~40s first compile
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
-    except Exception:
-        pass
+def _run_chain(trainer, batches, batch_size, K, steps_per_run, n_runs):
+    import numpy as np  # noqa: F401
+
+    out = trainer.train_step_block(batches[:K])  # compile block program
+    jax.block_until_ready(out["loss"])
+    n_cycle = len(batches)
+    rates = []
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        for blk in range(steps_per_run // K):
+            s = (blk * K) % n_cycle
+            out = trainer.train_step_block(batches[s:s + K])
+        jax.block_until_ready(out["loss"])  # one sync ends the chain
+        rates.append(steps_per_run * batch_size / (time.perf_counter() - t0))
+    return max(rates)
+
+
+def bench_deepfm():
     from monolith_tpu.data.synthetic import SyntheticCTR
     from monolith_tpu.embedding.engine import EngineConfig
     from monolith_tpu.models.deepfm import DeepFMTask
@@ -39,51 +65,73 @@ def main():
     data = SyntheticCTR(num_users=1_000_000, num_items=200_000,
                         batch_size=batch_size, seed=0)
     it = iter(data)
-
-    # warmup (compile + table fill + tunnel warm). NOTE: sync with
-    # block_until_ready, never float()/device_get — on tunnel-attached
-    # chips the FIRST device->host readback permanently switches the
-    # transport into a ~3.5x slower bidirectional mode (PERF.md).
     for _ in range(10):
         fb, b = next(it)
         out = trainer.train_step(fb, b)
     jax.block_until_ready(out["loss"])
+    batches = [next(it) for _ in range(24)]
+    eps = _run_chain(trainer, batches, batch_size, K=8, steps_per_run=192,
+                     n_runs=8)
+    return "deepfm_train_examples_per_sec", batch_size, eps
 
-    # Pre-generate the input stream: the bench measures the FRAMEWORK
-    # (host dedup/map + transfer + device step), not the synthetic data
-    # generator. The remote-attached chip's dispatch path has high
-    # environmental variance (shared tunnel); report the best sustained
-    # window, which reflects the framework's own throughput.
-    # K training steps ride one device dispatch (lax.scan over stacked
-    # wires) — bit-identical to sequential steps; amortizes dispatch cost.
-    # The timed region is one long ASYNC chain with a single sync at the
-    # end: the steady-state production pattern (host pack of step N+1
-    # overlaps device execution of step N; metrics drain asynchronously).
-    # Blocking every few steps would charge the full tunnel round-trip
-    # (tens of ms on remote-attached chips) to the framework.
-    K, n_cycle = 8, 24
-    batches = [next(it) for _ in range(n_cycle)]
-    out = trainer.train_step_block(batches[:K])  # compile block program
+
+def bench_multislot():
+    from monolith_tpu.data.synthetic import SyntheticMultiSlot
+    from monolith_tpu.embedding.engine import EngineConfig
+    from monolith_tpu.models.multislot import MultiSlotTask
+    from monolith_tpu.training.trainer import Trainer, TrainerConfig
+
+    batch_size = 8192
+    task = MultiSlotTask(num_tables=16, num_slots=40, embedding_dim=16,
+                         capacity_per_shard=1 << 18, history_length=20,
+                         hidden=(256, 128, 64))
+    trainer = Trainer(task, TrainerConfig(
+        engine=EngineConfig(num_shards=1, unique_cap=8192, new_cap=8192),
+        log_every=0, metrics_enabled=False))
+    data = SyntheticMultiSlot(num_slots=40, vocab_per_slot=100_000,
+                              history_length=20, batch_size=batch_size,
+                              seed=0)
+    it = iter(data)
+    for _ in range(8):
+        fb, b = next(it)
+        out = trainer.train_step(fb, b)
     jax.block_until_ready(out["loss"])
-    # best of several runs: the shared host/chip shows up-to-3x external
-    # interference swings; the max is the framework's own throughput
-    steps_per_run, n_runs = 192, 8
-    rates = []
-    for _ in range(n_runs):
-        t0 = time.perf_counter()
-        for blk in range(steps_per_run // K):
-            s = (blk * K) % n_cycle
-            out = trainer.train_step_block(batches[s:s + K])
-        jax.block_until_ready(out["loss"])  # one sync ends the chain
-        rates.append(steps_per_run * batch_size / (time.perf_counter() - t0))
+    batches = [next(it) for _ in range(16)]
+    eps = _run_chain(trainer, batches, batch_size, K=8, steps_per_run=96,
+                     n_runs=6)
+    return "multislot_train_examples_per_sec", batch_size, eps
 
-    eps = max(rates)
-    print(json.dumps({
-        "metric": "deepfm_train_examples_per_sec",
+
+def main():
+    # persistent compile cache: repeat runs skip the ~40s first compile
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception:
+        pass
+    config = os.environ.get("MT_BENCH_CONFIG", "deepfm")
+    fn = {"deepfm": bench_deepfm, "multislot": bench_multislot}[config]
+    metric, batch_size, eps = fn()
+    result = {
+        "metric": metric,
         "value": round(eps, 1),
         "unit": "examples/s",
         "vs_baseline": round(eps / NOMINAL_BASELINE_EPS, 3),
-    }))
+    }
+    try:
+        details = []
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_DETAILS.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                details = json.load(f)
+        details.append({**result, "batch_size": batch_size,
+                        "ts": int(time.time())})
+        with open(path, "w") as f:
+            json.dump(details[-20:], f, indent=1)
+    except Exception:
+        pass
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

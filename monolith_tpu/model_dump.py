@@ -2,10 +2,15 @@
 
 TPU-native rebuild of ref model_dump/ (dump_utils.py:46 — serializes
 model_fn/input_fn graphs + feature configs to proto for security review /
-reload). There is no graph to serialize in JAX; the durable artifact is the
-full declarative config: tables (segments with optimizer/initializer/
-compressor settings), features, module structure (flax param tree shapes),
-and trainer config — dumped to JSON.
+reload). Two artifacts:
+
+1. The declarative config (dump_model/save_model_dump): tables, features,
+   module param shapes, trainer config — JSON.
+2. The actual COMPUTE GRAPH (dump_graph/save_graph_dump): the jitted
+   forward step lowered to StableHLO text — the JAX analogue of the
+   reference's archived tf.GraphDef. It is the exact program the compiler
+   receives, diffable across code changes and independently auditable
+   (a reviewer needs no access to the Python that built it).
 """
 
 from __future__ import annotations
@@ -58,3 +63,31 @@ def dump_model(trainer) -> Dict:
 def save_model_dump(trainer, path: str) -> None:
     with open(path, "w") as f:
         json.dump(dump_model(trainer), f, indent=2, default=repr)
+
+
+def dump_graph(trainer, fid_batch, batch, ts: int = 0) -> str:
+    """Lower the trainer's forward step on a representative batch and
+    return its StableHLO text (ref dump_utils.py graph archival). Pure
+    tracing — no device execution, no state mutation."""
+    import jax.numpy as jnp
+
+    engine, module = trainer.engine, trainer.module
+    inputs, _ = engine.prepare_batch(fid_batch, ts=ts)
+    trainer._maybe_init(inputs, batch)
+
+    def forward(table_states, params, model_state, inputs, batch):
+        pooled, _ = engine.embed(table_states, inputs)
+        out, _ = trainer._apply(params, model_state, pooled, batch,
+                                training=False)
+        return trainer.task.predictions(out)
+
+    batch_j = {k: jnp.asarray(v) for k, v in batch.items()}
+    lowered = jax.jit(forward).lower(trainer.table_states, trainer.params,
+                                     trainer.model_state, inputs, batch_j)
+    return lowered.as_text()
+
+
+def save_graph_dump(trainer, path: str, fid_batch, batch,
+                    ts: int = 0) -> None:
+    with open(path, "w") as f:
+        f.write(dump_graph(trainer, fid_batch, batch, ts=ts))

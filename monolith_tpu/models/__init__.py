@@ -2,3 +2,4 @@ from monolith_tpu.models.deepfm import DeepFMModule, DeepFMTask
 from monolith_tpu.models.din import DINModule, DINTask
 from monolith_tpu.models.ffm import FFMModule, FFMTask
 from monolith_tpu.models.multitask import MMoEModule, MMoETask
+from monolith_tpu.models.multislot import MultiSlotModule, MultiSlotTask

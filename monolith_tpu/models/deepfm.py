@@ -28,6 +28,7 @@ class DeepFMModule(nn.Module):
     embedding_dim: int = 16
     hidden: Sequence[int] = (256, 128, 64)
     feature_names: Sequence[str] = ("user_id", "item_id", "hist_items")
+    dense_dtype: jnp.dtype = None  # bf16 runs the tower matmuls on the MXU
 
     @nn.compact
     def __call__(self, pooled: Dict[str, jnp.ndarray], batch, training: bool = False):
@@ -42,7 +43,8 @@ class DeepFMModule(nn.Module):
         linear = sum(bias_terms)
         fm = jnp.sum(fm_interaction(stack), axis=-1)
         deep_in = stack.reshape(stack.shape[0], -1)
-        deep = MLP(output_dims=(*self.hidden, 1), name="deep")(deep_in)[:, 0]
+        deep = MLP(output_dims=(*self.hidden, 1),
+                   compute_dtype=self.dense_dtype, name="deep")(deep_in)[:, 0]
         logits = linear + fm + deep
         return {"logits": logits}
 
@@ -68,6 +70,7 @@ class DeepFMTask(RecTask):
     # stochastic_rounding so sub-ulp updates accumulate (PERF.md)
     table_dtype: jnp.dtype = jnp.float32
     stochastic_rounding: bool = False
+    dense_dtype: jnp.dtype = None  # bf16: tower matmuls on the MXU
 
     def tables(self):
         segs = (
@@ -97,4 +100,6 @@ class DeepFMTask(RecTask):
         ]
 
     def build_module(self):
-        return DeepFMModule(embedding_dim=self.embedding_dim, hidden=tuple(self.hidden))
+        return DeepFMModule(embedding_dim=self.embedding_dim,
+                            hidden=tuple(self.hidden),
+                            dense_dtype=self.dense_dtype)

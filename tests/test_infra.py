@@ -216,6 +216,18 @@ class TestModelDump:
         assert d["dense_param_count"] > 0
         assert "Adagrad" in s
 
+    def test_graph_dump_is_stablehlo(self):
+        from monolith_tpu.model_dump import dump_graph
+        tr = small_trainer()
+        data = SyntheticCTR(num_users=20, num_items=10, batch_size=32,
+                            seed=75)
+        fb, b = data.batch()
+        tr.train_step(fb, b)
+        txt = dump_graph(tr, fb, b)
+        # the archived artifact is the real compiler input
+        assert "module @" in txt and "stablehlo" in txt
+        assert "gather" in txt  # the embedding lookup is in the graph
+
 
 class TestBatchNormSupport:
     """Models with mutable flax collections (BatchNorm batch_stats) must work
