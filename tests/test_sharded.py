@@ -170,3 +170,46 @@ class TestShardedBlockDispatch:
                         rtol=1e-5, err_msg=exchange),
                     jax.device_get(t1.table_states[tname]),
                     jax.device_get(t2.table_states[tname]))
+
+
+class TestA2aEvalAsymmetry:
+    """Training may use the bucketed-a2a exchange while evaluate() always
+    uses the allgather path — the asymmetry is intentional (eval has no
+    gradient return leg) but must produce the same numbers as evaluating
+    the identical state anywhere else. Cross-checked by resharding the
+    a2a-trained state into a single-shard trainer and comparing eval."""
+
+    def test_a2a_trained_state_evals_identically(self, tmp_path):
+        from monolith_tpu.data.synthetic import SyntheticCTR
+        from monolith_tpu.embedding.engine import EngineConfig
+        from monolith_tpu.models.deepfm import DeepFMTask
+        from monolith_tpu.parallel.mesh import make_mesh
+        from monolith_tpu.parallel.sharded import ShardedTrainer
+        from monolith_tpu.training import checkpoint
+        from monolith_tpu.training.trainer import Trainer, TrainerConfig
+
+        def task():
+            return DeepFMTask(embedding_dim=8, capacity_per_shard=4096,
+                              hidden=(16,), init_scale=0.0)
+
+        tr = ShardedTrainer(task(), TrainerConfig(
+            engine=EngineConfig(num_shards=4, unique_cap=256, new_cap=256,
+                                bucket_cap=128, exchange="a2a"),
+            log_every=0, seed=11), make_mesh(4))
+        data = SyntheticCTR(num_users=60, num_items=40, batch_size=64,
+                            seed=11)
+        it = iter(data)
+        for i in range(8):
+            tr.train_step(*next(it), ts=i)
+        eval_batches = [next(it) for _ in range(3)]
+        res_sharded = tr.evaluate(iter(eval_batches))
+
+        checkpoint.save(tr, str(tmp_path))
+        single = Trainer(task(), TrainerConfig(
+            engine=EngineConfig(num_shards=1, unique_cap=1024, new_cap=1024),
+            log_every=0, seed=11))
+        single.train_step(*next(it))  # init dense params for restore
+        checkpoint.restore(single, str(tmp_path))  # 4 -> 1 reshard
+        res_single = single.evaluate(iter(eval_batches))
+        assert abs(res_sharded["loss"] - res_single["loss"]) < 1e-4
+        assert abs(res_sharded["auc"] - res_single["auc"]) < 1e-3
