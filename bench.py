@@ -86,7 +86,11 @@ def bench_multislot():
                          capacity_per_shard=1 << 18, history_length=20,
                          hidden=(256, 128, 64))
     trainer = Trainer(task, TrainerConfig(
-        engine=EngineConfig(num_shards=1, unique_cap=8192, new_cap=8192),
+        engine=EngineConfig(num_shards=1, unique_cap=8192, new_cap=8192,
+                            # the 20-long history stream has far more
+                            # uniques per step than 2-3 scalar slots
+                            unique_caps=(("table_hist", 32768),),
+                            new_caps=(("table_hist", 32768),)),
         log_every=0, metrics_enabled=False))
     data = SyntheticMultiSlot(num_slots=40, vocab_per_slot=100_000,
                               history_length=20, batch_size=batch_size,

@@ -343,6 +343,9 @@ int64_t mt_prepare_wire(void* batcher, void* store,
 //   streams/sizes:    flattened per-table feature streams
 //   stream_offsets:   [n_tables+1] table t owns streams[so[t]..so[t+1])
 //   wire_offsets:     [n_tables+1] word offsets of each table's wire region
+//   unique_caps/new_caps: [n_tables] per-table step capacities (dozens-of-
+//                     slots models size a history table differently from
+//                     scalar slots)
 //   stats:            [n_tables * 5], layout as mt_prepare_wire
 // Returns total wire words (== wire_offsets[n_tables]).
 int64_t mt_prepare_wire_multi(int32_t n_tables, void** batchers, void** stores,
@@ -350,15 +353,16 @@ int64_t mt_prepare_wire_multi(int32_t n_tables, void** batchers, void** stores,
                               const int64_t* sizes,
                               const int64_t* stream_offsets,
                               const int64_t* wire_offsets, uint32_t ts,
-                              int64_t unique_cap, int64_t new_cap,
+                              const int64_t* unique_caps,
+                              const int64_t* new_caps,
                               int32_t record_touch, int32_t* wire,
                               int64_t* stats) {
   ThreadPool::Global().ParallelFor(n_tables, [&](int64_t t) {
     int64_t s0 = stream_offsets[t];
     PrepareWireOne(static_cast<Batcher*>(batchers[t]), stores[t], streams + s0,
                    sizes + s0, (int32_t)(stream_offsets[t + 1] - s0), ts,
-                   unique_cap, new_cap, record_touch, wire + wire_offsets[t],
-                   stats + t * 5);
+                   unique_caps[t], new_caps[t], record_touch,
+                   wire + wire_offsets[t], stats + t * 5);
   });
   return wire_offsets[n_tables];
 }

@@ -51,6 +51,12 @@ class EngineConfig:
     num_shards: int = 1
     unique_cap: int = 4096   # unique ids per table-shard per step
     new_cap: int = 1024      # admissions per table-shard per step
+    # per-table overrides of unique_cap/new_cap as ((table, cap), ...) —
+    # dozens-of-slots models size a history table very differently from
+    # scalar slots (over-capping pads every gather/scatter, under-capping
+    # silently drops ids as dedup overflow). Single-shard engines only.
+    unique_caps: Optional[Tuple[Tuple[str, int], ...]] = None
+    new_caps: Optional[Tuple[Tuple[str, int], ...]] = None
     record_touch: bool = False  # track touched fids for online param sync
     # embedding exchange for the sharded trainer: "allgather" broadcasts each
     # shard's unique rows to every device (traffic S*U*D); "a2a" sends each
@@ -90,6 +96,23 @@ class EngineConfig:
     # one step stale — pair hot segments with the DC optimizer
     # (dc_optimizer.cc:30-44) to compensate. Packed tables + block path.
     async_optimize: bool = False
+
+    def ucap(self, table: str) -> int:
+        if self.unique_caps:
+            return dict(self.unique_caps).get(table, self.unique_cap)
+        return self.unique_cap
+
+    def ncap(self, table: str) -> int:
+        if self.new_caps:
+            return dict(self.new_caps).get(table, self.new_cap)
+        return self.new_cap
+
+    @property
+    def max_ucap(self) -> int:
+        caps = [self.unique_cap]
+        if self.unique_caps:
+            caps += [c for _, c in self.unique_caps]
+        return max(caps)
 
     @property
     def effective_bucket_cap(self) -> int:
@@ -142,6 +165,10 @@ class EmbeddingEngine:
         self.table_features: Dict[str, List[FeatureConfig]] = {
             t: [f for f in features if f.table == t] for t in self.tables}
         S = config.num_shards
+        if (config.unique_caps or config.new_caps) and S != 1:
+            raise ValueError("per-table unique_caps/new_caps require "
+                             "num_shards == 1 (sharded paths use the "
+                             "global caps)")
         self.stores: Dict[str, List[HostStore]] = {}
         self.batchers: Dict[str, Batcher] = {}
         self.batchers2d: Dict[str, Batcher2D] = {}
@@ -158,8 +185,10 @@ class EmbeddingEngine:
                           seed=seed * 1000003 + s)
                 if (local is None or s in local) else None
                 for s in range(S)]
-            self.batchers[name] = Batcher(expected_unique=config.unique_cap * S)
-            self.batchers2d[name] = Batcher2D(expected_unique=config.unique_cap * S)
+            self.batchers[name] = Batcher(
+                expected_unique=config.ucap(name) * S)
+            self.batchers2d[name] = Batcher2D(
+                expected_unique=config.ucap(name) * S)
         self.archives = {}
         if config.tiered:
             from monolith_tpu.embedding.tiered import RowArchive
@@ -185,7 +214,7 @@ class EmbeddingEngine:
                    "index": {feature: [B, L] i32 into flat [S*Ucap]}}}
         """
         cfg = self.config
-        S, U, K = cfg.num_shards, cfg.unique_cap, cfg.new_cap
+        S = cfg.num_shards
         compact = cfg.compact_wire
         packed = self.packed
         inputs = {}
@@ -194,6 +223,7 @@ class EmbeddingEngine:
         for tname, feats in self.table_features.items():
             if not feats:
                 continue
+            U, K = cfg.ucap(tname), cfg.ncap(tname)
             streams = [np.ascontiguousarray(fid_batch[f.name], dtype=np.int64)
                        for f in feats]
             flat = np.concatenate([s.ravel() for s in streams])
@@ -264,7 +294,7 @@ class EmbeddingEngine:
                             revive_rows[s, :k] = nr[ok]
                         revive_values[s, :k] = vals[ok]
             idx_per_feature = {}
-            idt = cfg.index_dtype
+            idt = (np.int16 if compact and S * U <= 32768 else np.int32)
             off = 0
             for f, stream in zip(feats, streams):
                 n = stream.size
@@ -528,18 +558,18 @@ class EmbeddingEngine:
         multi-array int32 path instead of silently wrapping indices."""
         return (self.packed and self.config.compact_wire
                 and self.config.num_shards == 1
-                and self.config.unique_cap <= 32768
+                and self.config.max_ucap <= 32768
                 and not self.config.tiered)
 
     def wire_words(self, batch_size: int) -> int:
         """Number of int32 words in the engine's wire region for a batch."""
-        U = self.config.unique_cap
         total = 0
         for tname, feats in self.table_features.items():
             if not feats:
                 continue
-            total += U + sum((batch_size * f.max_length + 1) // 2
-                             for f in feats)
+            total += (self.config.ucap(tname)
+                      + sum((batch_size * f.max_length + 1) // 2
+                            for f in feats))
         return total
 
     def prepare_wire(self, fid_batch: Dict[str, np.ndarray], ts: int,
@@ -555,14 +585,13 @@ class EmbeddingEngine:
         larger caller-owned transfer buffer."""
         from monolith_tpu.embedding import host_store
         cfg = self.config
-        U, K = cfg.unique_cap, cfg.new_cap
-        if U > 32768 or not cfg.compact_wire:
+        if cfg.max_ucap > 32768 or not cfg.compact_wire:
             # int16 feature indices can only address 32768 unique rows; a
             # larger cap would wrap negative and silently alias rows
             raise ValueError(
-                f"prepare_wire requires compact_wire and unique_cap <= 32768 "
-                f"(got compact_wire={cfg.compact_wire}, unique_cap={U}); "
-                f"use prepare_batch (int32 indices) instead")
+                f"prepare_wire requires compact_wire and unique caps <= "
+                f"32768 (got compact_wire={cfg.compact_wire}, max cap "
+                f"{cfg.max_ucap}); use prepare_batch (int32 indices)")
         names, streams_per_table = [], []
         offsets = [0]
         for tname in sorted(self.table_features):
@@ -573,7 +602,7 @@ class EmbeddingEngine:
                        for f in feats]
             names.append(tname)
             streams_per_table.append(streams)
-            offsets.append(offsets[-1] + U
+            offsets.append(offsets[-1] + cfg.ucap(tname)
                            + sum((s.size + 1) // 2 for s in streams))
         offsets = np.asarray(offsets, dtype=np.int64)
         total = int(offsets[-1])
@@ -585,7 +614,9 @@ class EmbeddingEngine:
         st = host_store.prepare_wire_multi(
             [self.batchers[t] for t in names],
             [self.stores[t][0] for t in names],
-            streams_per_table, ts, U, K, cfg.record_touch, wire, offsets)
+            streams_per_table, ts,
+            [cfg.ucap(t) for t in names], [cfg.ncap(t) for t in names],
+            cfg.record_touch, wire, offsets)
         stats = {"overflow": {}, "new": {}, "unique": {}, "filtered": {},
                  "new_rejected": {}}
         for i, tname in enumerate(names):
@@ -603,7 +634,6 @@ class EmbeddingEngine:
           [U words]  rows_enc: row | (new_mask << 30); -1 rows stay -1
           per feature (declared order): ceil(B*L/2) words of int16 index
         """
-        U = self.config.unique_cap
         parts = []
         for tname in sorted(inputs):
             tin = inputs[tname]
@@ -622,13 +652,13 @@ class EmbeddingEngine:
 
     def decode_wire(self, wire: jnp.ndarray, batch_size: int) -> Dict:
         """Device-side inverse of pack_wire (pure jnp; shapes static)."""
-        U = self.config.unique_cap
         inputs = {}
         off = 0
         for tname in sorted(self.table_features):
             feats = self.table_features[tname]
             if not feats:
                 continue
+            U = self.config.ucap(tname)
             rows_enc = wire[off:off + U]
             off += U
             invalid = rows_enc < 0
@@ -658,7 +688,7 @@ class EmbeddingEngine:
         in tiered mode, archived state overlays the fresh init (revive).
 
         Returns (prows {table: [S, U, P]}, unique {table: [S*U, dim]})."""
-        S, U = self.config.num_shards, self.config.unique_cap
+        S = self.config.num_shards
         prows, unique = {}, {}
         for i, (tname, tin) in enumerate(sorted(inputs.items())):
             spec = self.tables[tname]
@@ -693,10 +723,11 @@ class EmbeddingEngine:
                     step: jnp.ndarray) -> Dict:
         """Optimize the gathered packed rows and write them back with ONE
         scatter per table (ref fused_apply_gradient)."""
-        S, U = self.config.num_shards, self.config.unique_cap
+        S = self.config.num_shards
         out = dict(states)
         for i, (tname, tin) in enumerate(sorted(inputs.items())):
             spec = self.tables[tname]
+            U = jnp.asarray(tin["rows"]).shape[-1]
             g = unique_grads[tname].reshape(S, U, spec.dim)
             new_p = jax.vmap(
                 lambda p, gg: table_lib.optimize_packed(spec, p, gg, step)
@@ -717,10 +748,11 @@ class EmbeddingEngine:
         """Optimize gathered packed rows WITHOUT scattering (the
         async_optimize pipeline defers the write-back one scan iteration).
         `prows_stale`: rows the forward used, fed to DC-style optimizers."""
-        S, U = self.config.num_shards, self.config.unique_cap
+        S = self.config.num_shards
         out = {}
         for tname in sorted(inputs):
             spec = self.tables[tname]
+            U = jnp.asarray(inputs[tname]["rows"]).shape[-1]
             g = unique_grads[tname].reshape(S, U, spec.dim)
             if prows_stale is None:
                 out[tname] = jax.vmap(
@@ -808,7 +840,8 @@ class EmbeddingEngine:
         for i, (tname, tin) in enumerate(sorted(inputs.items())):
             spec = self.tables[tname]
             g = unique_grads[tname].reshape(
-                self.config.num_shards, self.config.unique_cap, spec.dim)
+                self.config.num_shards, jnp.asarray(tin["rows"]).shape[-1],
+                spec.dim)
             # distinct (table, shard, step) keys for stochastic bf16
             # write-back — identical keys would correlate rounding noise
             # across shards and break its in-expectation accumulation

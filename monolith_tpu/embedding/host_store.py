@@ -320,15 +320,16 @@ def prepare_wire(batcher: "Batcher", store: HostStore,
 
 
 def prepare_wire_multi(batchers, stores, table_streams, ts: int,
-                       unique_cap: int, new_cap: int, record_touch: bool,
+                       unique_caps, new_caps, record_touch: bool,
                        wire_out: np.ndarray, wire_offsets: np.ndarray
                        ) -> np.ndarray:
     """Multi-table fused host prepare: ONE native call for ALL tables, each
     table's dedup+map+pack running as one task on the native thread pool
     (ref ShardingSparseFidsOp parallel parse). `table_streams` is a list of
-    per-table stream lists; `wire_offsets` [T+1] gives each table's word
-    offset in `wire_out`. Returns stats as an int64 [T, 5] array
-    (overflow, new, unique, filtered, new_rejected per table)."""
+    per-table stream lists; `unique_caps`/`new_caps` are per-table step
+    capacities (ints or [T] sequences); `wire_offsets` [T+1] gives each
+    table's word offset in `wire_out`. Returns stats as an int64 [T, 5]
+    array (overflow, new, unique, filtered, new_rejected per table)."""
     T = len(batchers)
     flat = [s for streams in table_streams for s in streams]
     n = len(flat)
@@ -339,12 +340,16 @@ def prepare_wire_multi(batchers, stores, table_streams, ts: int,
     np.cumsum([len(st) for st in table_streams], out=soffs[1:])
     bh = (ctypes.c_void_p * T)(*[b._h for b in batchers])
     sh = (ctypes.c_void_p * T)(*[s._h for s in stores])
+    ucaps = np.broadcast_to(np.asarray(unique_caps, np.int64),
+                            (T,)).copy()
+    ncaps = np.broadcast_to(np.asarray(new_caps, np.int64), (T,)).copy()
     stats = np.zeros((T, 5), dtype=np.int64)
     lib = batchers[0]._lib
     words = lib.mt_prepare_wire_multi(
         T, bh, sh, ptrs, _ptr(sizes, ctypes.c_int64),
         _ptr(soffs, ctypes.c_int64), _ptr(wire_offsets, ctypes.c_int64),
-        ts, unique_cap, new_cap, 1 if record_touch else 0,
+        ts, _ptr(ucaps, ctypes.c_int64), _ptr(ncaps, ctypes.c_int64),
+        1 if record_touch else 0,
         _ptr(wire_out, ctypes.c_int32), _ptr(stats, ctypes.c_int64))
     assert words == wire_out.size, (words, wire_out.size)
     return stats

@@ -105,7 +105,7 @@ def _declare(lib: ctypes.CDLL) -> None:
     d.mt_prepare_wire_multi.argtypes = [
         ctypes.c_int32, ctypes.POINTER(ctypes.c_void_p),
         ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(c_i64_p), c_i64_p,
-        c_i64_p, c_i64_p, ctypes.c_uint32, ctypes.c_int64, ctypes.c_int64,
+        c_i64_p, c_i64_p, ctypes.c_uint32, c_i64_p, c_i64_p,
         ctypes.c_int32, c_i32_p, c_i64_p]
     d.mt_host_threads.restype = ctypes.c_int32
     d.mt_host_threads.argtypes = []
