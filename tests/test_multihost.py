@@ -169,3 +169,30 @@ def test_multihost_matches_sharded_losses(tmp_path):
     sh_first, sh_last = np.mean(losses[:3]), np.mean(losses[-3:])
     assert abs(sh_first - mh_first) < 2e-3, (sh_first, mh_first)
     assert abs(sh_last - mh_last) < 2e-3, (sh_last, mh_last)
+
+
+def test_multihost_evaluate_single_process():
+    """evaluate(): lookup-only (no admission), loss pmean'd, AUC over the
+    local slice. Runs the same program a multi-process job compiles."""
+    import jax
+    from monolith_tpu.data.synthetic import SyntheticCTR
+    from monolith_tpu.embedding.engine import EngineConfig
+    from monolith_tpu.models.deepfm import DeepFMTask
+    from monolith_tpu.parallel.multihost import MultiHostTrainer
+    from monolith_tpu.training.trainer import TrainerConfig
+
+    task = DeepFMTask(embedding_dim=8, capacity_per_shard=4096,
+                      hidden=(16,), init_scale=0.0)
+    tr = MultiHostTrainer(task, TrainerConfig(
+        engine=EngineConfig(num_shards=len(jax.devices()), unique_cap=256,
+                            new_cap=256, bucket_cap=64), log_every=0))
+    data = SyntheticCTR(num_users=60, num_items=40,
+                        batch_size=8 * len(jax.devices()), seed=3)
+    it = iter(data)
+    for i in range(10):
+        tr.train_step(*next(it), ts=i)
+    sizes_before = [s.size() for s in tr.engine.stores["sparse"]]
+    res = tr.evaluate(iter([next(it) for _ in range(3)]))
+    assert np.isfinite(res["loss"]) and 0.0 < res["auc"] < 1.0
+    # eval admits nothing
+    assert [s.size() for s in tr.engine.stores["sparse"]] == sizes_before
