@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+from concurrent import futures
 from typing import Dict, Optional
 
 import jax
@@ -68,6 +69,11 @@ class ShardedServingRouter:
         self._batchers = {t: Batcher(expected_unique=unique_cap)
                           for t in self.tables}
         self._jit_fwd = None
+        # remote lookups are independent per (table, shard): fan them out
+        # concurrently (the reference's entry graph issues its remote_predict
+        # calls to all PS shards in parallel too)
+        self._pool = futures.ThreadPoolExecutor(
+            max_workers=max(2, self.num_row_shards * 2))
 
     # ------------------------------------------------------------------
 
@@ -104,12 +110,13 @@ class ShardedServingRouter:
             unique, index, counts, _ = self._batchers[tname].dedup(
                 flat, num_shards=N, shard_cap=cap)
             buf = np.zeros((N * cap, spec.dim), np.float32)
-            for s in range(N):
-                c = int(counts[s])
-                if c == 0:
-                    continue
-                vals = np.asarray(self._lookups[s](tname, unique[s, :c]))
-                buf[s * cap:s * cap + c] = vals
+            pending = {
+                s: self._pool.submit(self._lookups[s], tname,
+                                     unique[s, :int(counts[s])].copy())
+                for s in range(N) if int(counts[s])}
+            for s, fut in pending.items():
+                vals = np.asarray(fut.result())
+                buf[s * cap:s * cap + len(vals)] = vals
             idx = {}
             off = 0
             for fname, stream in zip(fnames, streams):
