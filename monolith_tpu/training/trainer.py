@@ -116,7 +116,9 @@ class Trainer:
 
         variables = jax.jit(init_fn)(self.table_states, inputs, batch)
         variables = dict(variables)
-        self.params = variables.pop("params")
+        # a purely-sparse model (all signal through embeddings) has no dense
+        # params; optax handles an empty tree fine
+        self.params = variables.pop("params", {})
         self.model_state = variables  # e.g. {"batch_stats": ...}
         self.opt_state = self.tx.init(self.params)
 

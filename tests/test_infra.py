@@ -391,3 +391,72 @@ class TestTideAndSlowStart:
                           max_wait_sec=0.0, poll_sec=0.0)
         h(None, None)
         assert h.started
+
+
+class TestCompatAPI:
+    """Reference-style FeatureSlot/FeatureColumn user API (compat.py) must
+    build the same declarative specs and train end to end — the line-by-line
+    port path for reference model code (native_model.py:911-1086)."""
+
+    def test_builds_specs_and_trains(self):
+        import flax.linen as nn
+        import jax.numpy as jnp
+
+        from monolith_tpu import compat
+        from monolith_tpu.data.synthetic import SyntheticCTR
+        from monolith_tpu.embedding.engine import EngineConfig
+        from monolith_tpu.training.task import RecTask
+        from monolith_tpu.training.trainer import Trainer, TrainerConfig
+
+        fm = compat.FeatureFactory(default_capacity=4096)
+        fc_user = fm.create_embedding_feature_column(
+            "user_id", occurrence_threshold=0, has_bias=True)
+        fc_item = fm.create_embedding_feature_column("item_id")
+        # shared embedding: hist ids share the item slot (ref share_slot)
+        fc_hist = fm.create_embedding_feature_column(
+            "hist_items", shared_name="item_id", combiner="reduce_mean",
+            max_seq_length=10)
+        u_vec = fc_user.feature_slot.add_feature_slice(8)
+        u_bias = fc_user.feature_slot.get_bias_slice()
+        i_vec = fc_item.feature_slot.add_feature_slice(8)
+        tables, features = fm.build()
+
+        assert {t.name for t in tables} == {"user_id", "item_id"}
+        assert fc_hist.feature_slot is fc_item.feature_slot
+        user_tbl = next(t for t in tables if t.name == "user_id")
+        assert user_tbl.dim == 9  # bias(1) + vec(8)
+        assert u_bias.start == 0 and u_vec.start == 1
+
+        class M(nn.Module):
+            @nn.compact
+            def __call__(self, pooled, batch, training=False):
+                uv = compat.lookup_embedding_slice(pooled, fc_user, u_vec)
+                ub = fc_user.embedding_lookup(pooled, u_bias)[:, 0]
+                iv = fc_item.embedding_lookup(pooled, i_vec)
+                hv = fc_hist.embedding_lookup(pooled, i_vec)  # mean pooled
+                x = jnp.concatenate([uv * iv, uv * hv], axis=-1)
+                logits = nn.Dense(1)(x)[:, 0] + ub
+                return {"logits": logits}
+
+        class T(RecTask):
+            def tables(self):
+                return tables
+
+            def features(self):
+                return features
+
+            def build_module(self):
+                return M()
+
+        tr = Trainer(T(), TrainerConfig(
+            engine=EngineConfig(unique_cap=512, new_cap=512), log_every=0))
+        data = SyntheticCTR(num_users=50, num_items=30, batch_size=64,
+                            seed=9)
+        it = iter(data)
+        losses = []
+        for i in range(15):
+            out = tr.train_step(*next(it), ts=i)
+            losses.append(float(np.asarray(out["loss"])))
+        assert losses[-1] < losses[0]
+        # shared slot: hist ids landed in the item table
+        assert tr.engine.stores["item_id"][0].size() > 30
