@@ -51,7 +51,19 @@ class Estimator:
             clip_norm=config.clip_norm, seed=config.seed,
             log_every=config.log_every,
             steps_per_dispatch=config.steps_per_dispatch)
-        if config.num_shards > 1:
+        # trainer factory (ref distributed_ps_factory.py role): multi-process
+        # runs get the 3-a2a MultiHostTrainer, single-process multi-device
+        # the shard_map ShardedTrainer, else the single-chip Trainer
+        import jax
+        if jax.process_count() > 1:
+            import dataclasses as _dc
+            from monolith_tpu.parallel.multihost import MultiHostTrainer
+            n = len(jax.devices())
+            if tc.engine.num_shards != n:  # shards == global devices
+                tc = _dc.replace(tc, engine=_dc.replace(tc.engine,
+                                                        num_shards=n))
+            self.trainer = MultiHostTrainer(task, tc)
+        elif config.num_shards > 1:
             from monolith_tpu.parallel import ShardedTrainer, make_mesh
             self.trainer = ShardedTrainer(task, tc, make_mesh(config.num_shards))
         else:
@@ -64,8 +76,14 @@ class Estimator:
     def _maybe_restore(self, fid_batch, batch):
         if not self._restore_pending:
             return
-        inputs, _ = self.trainer.engine.prepare_batch(fid_batch, ts=0)
-        self.trainer._maybe_init(inputs, batch)
+        if hasattr(self.trainer, "_prepare_local"):  # MultiHostTrainer
+            inputs, _ = self.trainer._prepare_local(fid_batch)
+            ginputs = self.trainer._lift_inputs(inputs)
+            self.trainer._input_template = ginputs
+            self.trainer._maybe_init_global(ginputs, batch)
+        else:
+            inputs, _ = self.trainer.engine.prepare_batch(fid_batch, ts=0)
+            self.trainer._maybe_init(inputs, batch)
         ckpt_lib.restore(self.trainer, self.config.model_dir)
         self._restore_pending = False
 

@@ -40,7 +40,14 @@ def _tables_dir(path):
 
 def save(trainer, directory: str, evict_before_save: bool = False,
          dense_only: bool = False) -> str:
-    """Save trainer state; returns the checkpoint path."""
+    """Save trainer state; returns the checkpoint path. Multi-process
+    trainers (globally-sharded, not fully addressable table state) route to
+    save_distributed transparently."""
+    leaves = jax.tree.leaves(trainer.table_states)
+    if leaves and not getattr(leaves[0], "is_fully_addressable", True):
+        return save_distributed(trainer, directory,
+                                evict_before_save=evict_before_save,
+                                dense_only=dense_only)
     step = trainer.step
     path = os.path.join(directory, f"ckpt-{step}")
     os.makedirs(_tables_dir(path), exist_ok=True)
@@ -167,8 +174,13 @@ def latest_step(directory: str) -> Optional[int]:
 
 
 def restore(trainer, directory: str, step: Optional[int] = None) -> int:
-    """Restore trainer state in place; returns the restored step."""
+    """Restore trainer state in place; returns the restored step.
+    Multi-process trainers route to restore_distributed transparently."""
     import jax.numpy as jnp
+
+    leaves = jax.tree.leaves(trainer.table_states)
+    if leaves and not getattr(leaves[0], "is_fully_addressable", True):
+        return restore_distributed(trainer, directory, step=step)
 
     if step is None:
         step = latest_step(directory)
@@ -318,7 +330,8 @@ def _shard_data(arr, s: int) -> np.ndarray:
 
 
 def save_distributed(trainer, directory: str,
-                     evict_before_save: bool = False) -> str:
+                     evict_before_save: bool = False,
+                     dense_only: bool = False) -> str:
     """Multi-process checkpoint save for MultiHostTrainer: each process
     writes ONLY its own table shards (per-shard files in the same layout as
     `save`, so single-host `restore` / `_restore_resharded` can read them);
@@ -353,9 +366,11 @@ def save_distributed(trainer, directory: str,
                 f.write(serialization.to_bytes(
                     jax.device_get(trainer.model_state)))
 
-    meta = {"step": step, "ts": int(time.time()), "dense_only": False,
-            "tables": {}}
+    meta = {"step": step, "ts": int(time.time()),
+            "dense_only": dense_only, "tables": {}}
     for tname, spec in trainer.engine.tables.items():
+        if dense_only:
+            break
         state = trainer.table_states[tname]
         num_shards = jax.tree.leaves(state)[0].shape[0]
         meta["tables"][tname] = {"shards": num_shards, "dim": spec.dim}

@@ -108,6 +108,23 @@ def main():
         assert all(np.isfinite(post)), post
         print(f"RESULT {pid} step={step} sizes={sizes} sums={sums} "
               f"post={np.mean(post):.5f}", flush=True)
+    elif mode == "estimator":
+        # Estimator facade in a multi-process run: auto-selects
+        # MultiHostTrainer, transparently routes checkpoint save/restore to
+        # the distributed paths, resumes from model_dir on the second run
+        from monolith_tpu.estimator import Estimator, RunnerConfig
+        est = Estimator(task, RunnerConfig(model_dir=ckpt_dir,
+                                           unique_cap=512, new_cap=512,
+                                           log_every=0))
+        assert type(est.trainer).__name__ == "MultiHostTrainer"
+
+        def stream():
+            while True:
+                yield next_local()
+
+        res = est.train(stream(), steps=steps)
+        print(f"RESULT {pid} step={est.trainer.step} "
+              f"loss={res['loss']:.5f} auc={res['auc']:.4f}", flush=True)
     else:
         raise ValueError(mode)
 

@@ -196,3 +196,18 @@ def test_multihost_evaluate_single_process():
     assert np.isfinite(res["loss"]) and 0.0 < res["auc"] < 1.0
     # eval admits nothing
     assert [s.size() for s in tr.engine.stores["sparse"]] == sizes_before
+
+
+@pytest.mark.timeout(600)
+def test_estimator_multiprocess_resume(tmp_path):
+    """Estimator in a 2-process run: picks MultiHostTrainer, saves a
+    distributed checkpoint at the end of train(), and a SECOND 2-process
+    run restores from model_dir and continues from the saved step."""
+    outs = run_workers(2, 5, 2, "estimator", str(tmp_path))
+    pat = r"RESULT (\d) step=(\d+) loss=([\d.]+) auc=([\d.]+)"
+    res = parse_results(outs, pat)
+    assert all(int(m.group(2)) == 5 for m in res.values())
+    outs2 = run_workers(2, 4, 2, "estimator", str(tmp_path))
+    res2 = parse_results(outs2, pat)
+    # resumed at 5, trained 4 more
+    assert all(int(m.group(2)) == 9 for m in res2.values())
