@@ -85,12 +85,12 @@ def bench_multislot():
     task = MultiSlotTask(num_tables=16, num_slots=40, embedding_dim=16,
                          capacity_per_shard=1 << 18, history_length=20,
                          hidden=(256, 128, 64))
+    # caps sized to the measured workload (zipf slots: 2-4k uniques/step,
+    # history: ~8.5k): per-table caps keep every gather/scatter/wire tight
     trainer = Trainer(task, TrainerConfig(
-        engine=EngineConfig(num_shards=1, unique_cap=8192, new_cap=8192,
-                            # the 20-long history stream has far more
-                            # uniques per step than 2-3 scalar slots
-                            unique_caps=(("table_hist", 32768),),
-                            new_caps=(("table_hist", 32768),)),
+        engine=EngineConfig(num_shards=1, unique_cap=6144, new_cap=6144,
+                            unique_caps=(("table_hist", 16384),),
+                            new_caps=(("table_hist", 16384),)),
         log_every=0, metrics_enabled=False))
     data = SyntheticMultiSlot(num_slots=40, vocab_per_slot=100_000,
                               history_length=20, batch_size=batch_size,
