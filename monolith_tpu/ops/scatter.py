@@ -71,7 +71,7 @@ def _scatter_kernel(rows_ref, values_ref, pool_in_ref, pool_out_ref, sems):
             copy(jnp.maximum(i, 0), jnp.maximum(i, 0) % _NSLOTS).wait()
         return carry
 
-    jax.lax.fori_loop(0, min(_NSLOTS, n), drain, 0)
+    jax.lax.fori_loop(0, _NSLOTS, drain, 0)
 
 
 def _gather_kernel(rows_ref, pool_ref, out_ref, sems):
@@ -99,7 +99,7 @@ def _gather_kernel(rows_ref, pool_ref, out_ref, sems):
             copy(jnp.maximum(i, 0), jnp.maximum(i, 0) % _NSLOTS).wait()
         return carry
 
-    jax.lax.fori_loop(0, min(_NSLOTS, n), drain, 0)
+    jax.lax.fori_loop(0, _NSLOTS, drain, 0)
 
 
 def gather_rows(pool: jnp.ndarray, rows: jnp.ndarray) -> jnp.ndarray:
@@ -132,9 +132,9 @@ def scatter_rows(pool: jnp.ndarray, rows: jnp.ndarray,
     donates table state). pool [cap, P], rows [U] int32, values [U, P]
     with values.dtype == pool.dtype.
 
-    Measured (v5e, cap 2^21, P 128, U 32768): 0.026 ms vs 2.97 ms for the
-    XLA scatter — the DMA pipeline runs at HBM bandwidth instead of one
-    serial row per ~90-170 ns."""
+    Profiled in-program (v5e, cap 2^21, P 128, U 32768): 1.14 ms vs
+    ~3 ms for the XLA scatter — bound by the scalar core's DMA issue rate
+    (~33 ns/descriptor) instead of serial per-row HBM latency."""
     assert values.dtype == pool.dtype, (values.dtype, pool.dtype)
     assert rows.shape[0] == values.shape[0]
     assert values.shape[1] == pool.shape[1]
