@@ -12,11 +12,13 @@
 
 #pragma once
 
+#include <algorithm>
 #include <atomic>
 #include <condition_variable>
 #include <cstdint>
 #include <cstdlib>
 #include <functional>
+#include <memory>
 #include <mutex>
 #include <queue>
 #include <thread>
@@ -50,17 +52,28 @@ class ThreadPool {
       for (int64_t i = 0; i < n; ++i) fn(i);
       return;
     }
-    std::atomic<int64_t> next{0}, done{0};
-    std::mutex done_mu;
-    std::condition_variable done_cv;
-    auto run = [&] {
+    // Shared state lives on the heap: queued helper tasks can outlive this
+    // frame (the caller may drain every item itself and return while a
+    // worker still holds a queued copy — it must find live state, see that
+    // next >= n, and exit as a no-op).
+    struct State {
+      std::atomic<int64_t> next{0}, done{0};
+      std::mutex done_mu;
+      std::condition_variable done_cv;
+      std::function<void(int64_t)> fn;
+      int64_t n;
+    };
+    auto st = std::make_shared<State>();
+    st->fn = fn;
+    st->n = n;
+    auto run = [st] {
       for (;;) {
-        int64_t i = next.fetch_add(1);
-        if (i >= n) break;
-        fn(i);
-        if (done.fetch_add(1) + 1 == n) {
-          std::lock_guard<std::mutex> g(done_mu);
-          done_cv.notify_one();
+        int64_t i = st->next.fetch_add(1);
+        if (i >= st->n) break;
+        st->fn(i);
+        if (st->done.fetch_add(1) + 1 == st->n) {
+          std::lock_guard<std::mutex> g(st->done_mu);
+          st->done_cv.notify_one();
         }
       }
     };
@@ -71,8 +84,8 @@ class ThreadPool {
     }
     cv_.notify_all();
     run();  // caller participates
-    std::unique_lock<std::mutex> g(done_mu);
-    done_cv.wait(g, [&] { return done.load() >= n; });
+    std::unique_lock<std::mutex> g(st->done_mu);
+    st->done_cv.wait(g, [st] { return st->done.load() >= st->n; });
   }
 
   static ThreadPool& Global() {

@@ -433,9 +433,9 @@ def encode_instance(ex: Example) -> bytes:
     named: List[Tuple[str, np.ndarray]] = []
     for name, fids in ex.features.items():
         arr = np.asarray(fids, np.int64)
-        if name.startswith("slot_") and len(arr) and \
+        if name.startswith("slot_") and name[5:].isdigit() and len(arr) and \
                 (slot_of_fid_v1(int(arr[0]) & (1 << 64) - 1) ==
-                 int(name[5:] or 0)):
+                 int(name[5:])):
             v1_fids.extend(arr.tolist())
         else:
             named.append((name, arr))

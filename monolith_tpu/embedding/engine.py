@@ -95,6 +95,12 @@ class EngineConfig:
     # gather), so updates are never lost; ids read by the forward may be
     # one step stale — pair hot segments with the DC optimizer
     # (dc_optimizer.cc:30-44) to compensate. Packed tables + block path.
+    # CAVEAT: an id ADMITTED at step i and re-read at step i+1 reads its
+    # row's pre-init content in the FORWARD only (zeros for fresh rows;
+    # prior content for rows recycled after eviction) — the optimize and
+    # write-back still use properly initialized state. Avoid async mode
+    # with aggressive eviction/recycling, or accept the one-step forward
+    # noise like the reference's async pipeline does.
     async_optimize: bool = False
 
     def ucap(self, table: str) -> int:
@@ -240,12 +246,14 @@ class EmbeddingEngine:
                 unique, index, counts, overflow = self.batchers[tname].dedup(
                     flat, num_shards=S, shard_cap=U)
             rows = np.full((S, U), -1, dtype=np.int32)
+            # per-table: positions index THIS table's unique list of size U
+            pos_dt = (np.int16 if compact and U <= 32768 else np.int32)
             if packed:
                 # fused step: new ids are a SELECT over the gathered rows,
                 # not a scatter — ship a mask instead of row values
                 new_mask = np.zeros((S, U), dtype=np.uint8)
             elif compact:
-                new_pos = np.full((S, K), -1, dtype=cfg.pos_dtype)
+                new_pos = np.full((S, K), -1, dtype=pos_dt)
             else:
                 new_rows = np.full((S, K), -1, dtype=np.int32)
             tiered = cfg.tiered
@@ -253,7 +261,7 @@ class EmbeddingEngine:
                 from monolith_tpu.embedding.tiered import state_width
                 width = state_width(self.tables[tname])
                 if packed:
-                    revive_pos = np.full((S, K), -1, dtype=cfg.pos_dtype)
+                    revive_pos = np.full((S, K), -1, dtype=pos_dt)
                 else:
                     revive_rows = np.full((S, K), -1, dtype=np.int32)
                 revive_values = np.zeros((S, K, width), dtype=np.float32)

@@ -34,7 +34,9 @@ def pallas_scatter_enabled() -> bool:
     if os.environ.get("MT_PALLAS_SCATTER", "1") != "1":
         return False
     try:
-        return jax.default_backend() != "cpu"
+        # pltpu kernels lower on TPU backends only (incl. the tunneled
+        # "axon" platform); GPU/CPU keep the XLA scatter
+        return jax.default_backend() in ("tpu", "axon")
     except Exception:
         return False
 

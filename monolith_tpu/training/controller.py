@@ -78,6 +78,12 @@ class TrainingController:
 
     def _rpc_status(self, request, context):
         t = self.trainer
+        # metrics accumulate on device; a status RPC is an explicit user
+        # request, so the one readback here is acceptable
+        try:
+            t._drain_metrics()
+        except Exception:
+            pass
         status: Dict = {"step": t.step,
                         "paused": int(self._paused.is_set()),
                         "loss": float(t.loss_mean.result()),

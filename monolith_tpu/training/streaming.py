@@ -133,6 +133,7 @@ class StreamingTrainer:
         # final flush
         if self.sync is not None:
             self.sync_now()
+        t._drain_metrics()  # metrics accumulate on device; read them back
         return {"steps": n, "pushed_rows": self.pushed_rows,
                 "sync_rounds": self.sync_rounds,
                 "auc": t.auc.result(), "loss": t.loss_mean.result()}

@@ -308,8 +308,9 @@ class Trainer:
         specs = engine.tables
 
         def zero_pending():
-            return {t: (jnp.full((S, U), -1, jnp.int32),
-                        jnp.zeros((S, U, table_lib.packed_padded_width(sp)),
+            return {t: (jnp.full((S, cfg.engine.ucap(t)), -1, jnp.int32),
+                        jnp.zeros((S, cfg.engine.ucap(t),
+                                   table_lib.packed_padded_width(sp)),
                                   jnp.float32))
                     for t, sp in specs.items() if engine.table_features[t]}
 

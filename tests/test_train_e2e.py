@@ -355,3 +355,26 @@ class TestAsyncOptimize:
         np.testing.assert_allclose(np.asarray(out2[:, :4]),
                                    np.asarray(latest[:, :4] - lr * g),
                                    rtol=1e-5)
+
+
+def test_async_optimize_with_per_table_caps():
+    """async block dispatch must carry per-table pending shapes (regression:
+    zero_pending once used the global unique_cap for every table)."""
+    from monolith_tpu.data.synthetic import SyntheticMultiSlot
+    from monolith_tpu.embedding.engine import EngineConfig
+    from monolith_tpu.models.multislot import MultiSlotTask
+    from monolith_tpu.training.trainer import Trainer, TrainerConfig
+
+    task = MultiSlotTask(num_tables=2, num_slots=4, embedding_dim=8,
+                         capacity_per_shard=4096, history_length=6,
+                         hidden=(16,))
+    tr = Trainer(task, TrainerConfig(
+        engine=EngineConfig(unique_cap=128, new_cap=128,
+                            unique_caps=(("table_hist", 512),),
+                            new_caps=(("table_hist", 512),),
+                            async_optimize=True),
+        log_every=0, steps_per_dispatch=3))
+    data = SyntheticMultiSlot(num_slots=4, vocab_per_slot=300,
+                              history_length=6, batch_size=64, seed=6)
+    res = tr.train(iter(data), steps=7)
+    assert np.isfinite(res["loss"])
