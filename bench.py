@@ -76,12 +76,20 @@ def bench_deepfm():
 
 
 def bench_multislot():
+    import os
+
     from monolith_tpu.data.synthetic import SyntheticMultiSlot
     from monolith_tpu.embedding.engine import EngineConfig
     from monolith_tpu.models.multislot import MultiSlotTask
     from monolith_tpu.training.trainer import Trainer, TrainerConfig
 
     batch_size = 8192
+    # measured (PERF.md): with ~2.3GB of pool state across 17 tables the
+    # Pallas row-DMA kernels hit a memory-pressure cliff (247 vs 60 ms/step
+    # same-process A/B) while the XLA scatter does not; the single-table
+    # flagship (1GB) keeps the kernel win. Until the cliff is understood,
+    # the many-table bench uses the XLA path.
+    os.environ.setdefault("MT_PALLAS_SCATTER", "0")
     task = MultiSlotTask(num_tables=16, num_slots=40, embedding_dim=16,
                          capacity_per_shard=1 << 18, history_length=20,
                          hidden=(256, 128, 64))
