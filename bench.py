@@ -139,10 +139,14 @@ def main():
                 details = json.load(f)
         details.append({**result, "batch_size": batch_size,
                         "ts": int(time.time())})
-        with open(path, "w") as f:
+        # atomic replace so a concurrent/interrupted run can't corrupt it
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(details[-20:], f, indent=1)
-    except Exception:
-        pass
+        os.replace(tmp, path)
+    except (OSError, json.JSONDecodeError) as e:
+        print(f"warning: BENCH_DETAILS.json not updated: {e}",
+              file=__import__("sys").stderr)
     print(json.dumps(result))
 
 

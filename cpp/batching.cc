@@ -270,8 +270,9 @@ int64_t PrepareWireOne(Batcher* b, void* store, const int64_t* const* streams,
   stats[0] = b->overflow();
   stats[1] = n_marked;  // admissions (the store caps these at new_cap)
   stats[2] = count;
-  stats[3] = filtered;
+  // budget-rejected ids also read -1 rows; keep the two counters disjoint
   stats[4] = n_new - n_marked;  // rejected: admission budget exhausted
+  stats[3] = filtered - stats[4];
   return off;
 }
 

@@ -328,7 +328,9 @@ def parse_example_batch(data: bytes) -> List[Example]:
     out = [Example(features={}, dense={}) for _ in range(batch_size)]
     for name, ftype, payloads in columns:
         for i in range(batch_size):
-            payload = payloads[0] if ftype == 1 else (
+            # a SHARED column may legally carry zero payloads (feature
+            # absent for the whole batch) — guard instead of indexing
+            payload = (payloads[0] if payloads else b"") if ftype == 1 else (
                 payloads[i] if i < len(payloads) else b"")
             if not payload:
                 continue

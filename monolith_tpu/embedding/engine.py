@@ -291,7 +291,11 @@ class EmbeddingEngine:
                 rows[s, :c] = r
                 n_new += len(nr)
                 n_rej += self.stores[tname][s].last_rejected
-                n_filtered += int((r == -1).sum())
+                # -1 rows include both admission-filtered ids AND budget-
+                # rejected ids (already counted in new_rejected) — subtract
+                # so the two monitoring counters don't double-count
+                n_filtered += (int((r == -1).sum())
+                               - self.stores[tname][s].last_rejected)
                 if tiered and len(nf):
                     ok, vals = self.archives[tname][s].revive(nf)
                     if ok.any():

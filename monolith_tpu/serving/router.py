@@ -107,8 +107,16 @@ class ShardedServingRouter:
             # dedup grouped by OWNING SHARD: unique[s] is exactly the id
             # list to fetch from replica s, index already points into the
             # merged [N*cap] buffer
-            unique, index, counts, _ = self._batchers[tname].dedup(
+            unique, index, counts, overflow = self._batchers[tname].dedup(
                 flat, num_shards=N, shard_cap=cap)
+            if overflow:
+                # unique_cap is a per-request limit: overflowed ids would
+                # silently serve zero embeddings (index -1), unlike training
+                # which surfaces stats['overflow'] — refuse loudly instead
+                raise ValueError(
+                    f"predict request exceeds unique_cap={cap} per shard for "
+                    f"table {tname} ({overflow} unique ids overflowed); "
+                    f"split the request or raise unique_cap")
             buf = np.zeros((N * cap, spec.dim), np.float32)
             pending = {
                 s: self._pool.submit(self._lookups[s], tname,
