@@ -1,53 +1,141 @@
 """Benchmark: CTR training throughput on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
-Two configs (MT_BENCH_CONFIG env var):
+Configs (MT_BENCH_CONFIG env var):
   deepfm    (default) flagship single-table DeepFM — batch 8192, 3 sparse
             features, 17-dim rows, 256-128-64 tower.
-  multislot production-shaped many-slot model — 16 tables + history table,
-            40 scalar slots + one 20-long DIN-attended sequence, batch
-            8192 (the reference's dozens-of-slots workload; exercises the
-            thread-pooled multi-table host prepare).
+  multislot production-shaped many-slot model — 40 slots + one 20-long
+            DIN-attended sequence over ONE merged physical table (ref
+            MergedMultiTypeHashTable role), batch 8192 — the reference's
+            dozens-of-slots workload.
+
+Variants (MT_BENCH_PROD=1): metrics ON + a mid-run checkpoint save — the
+production loop, including the permanent post-first-readback tunnel state
+(PERF.md readback cliff), not the lab loop.
 
 The reference publishes no benchmark numbers (BASELINE.md); vs_baseline is
 measured against a nominal 100k examples/sec/chip target so the number is
-comparable across rounds. Results for whichever config ran are also
-appended to BENCH_DETAILS.json.
+comparable across rounds.
 
-Methodology: the timed region is one long async chain (K steps per device
-dispatch, single block_until_ready at the end) — the steady-state
-production pattern where host pack of step N+1 overlaps device execution
-of step N. No device->host readback happens anywhere (the first readback
-permanently degrades the tunnel transport ~3.5x, PERF.md); metric state
-accumulates on device. Best-of-N windows because the shared host/chip
-shows up-to-3x co-tenant interference swings.
+Methodology (variance-robust, PERF.md round-3 protocol): the timed region
+is one long async chain (K steps per device dispatch, single
+block_until_ready at the end) — the steady-state production pattern where
+host pack of step N+1 overlaps device execution of step N. The headline
+value is the MEDIAN across windows (the shared host/chip shows up-to-3x
+co-tenant swings; best-of flattered, median survives). Alongside it the
+JSON carries a breakdown measured in the same process:
+  host_pack_ms_per_step  pure host C++ prepare+pack loop (no dispatch)
+  device_ms_per_step     chain re-dispatching pre-packed wires (no pack)
+  e2e_ms_per_step        the real chain (pack + dispatch, overlapped)
+so a round-over-round move can be attributed to host, device, or tunnel.
 """
 
 import json
 import os
+import statistics
 import time
 
 import jax
+import numpy as np
 
 NOMINAL_BASELINE_EPS = 100_000.0  # examples/sec nominal target
 
 
-def _run_chain(trainer, batches, batch_size, K, steps_per_run, n_runs):
-    import numpy as np  # noqa: F401
+def _median(xs):
+    return statistics.median(xs)
+
+
+def _bench_protocol(trainer, batches, batch_size, K, steps_per_run, n_runs,
+                    prod_save_dir=None):
+    """Interleaved e2e / device-only windows + one host-only pass.
+
+    batches: list of (fid_batch, batch) pairs, len >= K.
+    prod_save_dir: if set, a checkpoint save runs after the 2nd e2e window
+    (the production readback event); the headline median is taken over the
+    POST-save windows only.
+    """
+    from monolith_tpu.training.trainer import Trainer
 
     out = trainer.train_step_block(batches[:K])  # compile block program
     jax.block_until_ready(out["loss"])
     n_cycle = len(batches)
-    rates = []
-    for _ in range(n_runs):
+
+    # host-only: the fused C++ prepare + wire pack, no device dispatch
+    layout = Trainer._batch_layout(batches[0][1])
+    W = trainer._full_wire_words(layout)
+    wires = np.empty((K, W), dtype=np.int32)
+    t0 = time.perf_counter()
+    host_passes = 3
+    for _ in range(host_passes):
+        for i in range(K):
+            fb, b = batches[i]
+            trainer._pack_full_wire(fb, b, layout, int(time.time()),
+                                    trainer.step + i, out=wires[i])
+    host_ms = (time.perf_counter() - t0) / (host_passes * K) * 1e3
+
+    def e2e_window():
         t0 = time.perf_counter()
         for blk in range(steps_per_run // K):
             s = (blk * K) % n_cycle
             out = trainer.train_step_block(batches[s:s + K])
-        jax.block_until_ready(out["loss"])  # one sync ends the chain
-        rates.append(steps_per_run * batch_size / (time.perf_counter() - t0))
-    return max(rates)
+        jax.block_until_ready(out["loss"])
+        return (time.perf_counter() - t0) / steps_per_run * 1e3
+
+    def device_window():
+        # re-dispatch the SAME pre-packed wires: device + dispatch cost only
+        t0 = time.perf_counter()
+        for _ in range(steps_per_run // K):
+            (trainer.table_states, trainer.params, trainer.model_state,
+             trainer.opt_state, trainer._dev_metrics, losses, _preds, _aux
+             ) = trainer._jit_step_block(
+                trainer.table_states, trainer.params, trainer.model_state,
+                trainer.opt_state, trainer._dev_metrics, wires,
+                trainer._base_key)
+        jax.block_until_ready(losses)
+        return (time.perf_counter() - t0) / steps_per_run * 1e3
+
+    e2e_ms, dev_ms, post_save_ms = [], [], []
+    saved = False
+    for r in range(n_runs):
+        e = e2e_window()
+        e2e_ms.append(e)
+        if saved:
+            post_save_ms.append(e)
+        dev_ms.append(device_window())
+        if prod_save_dir is not None and r == 1 and not saved:
+            from monolith_tpu.training import checkpoint
+            t0 = time.perf_counter()
+            checkpoint.save(trainer, prod_save_dir)
+            save_s = time.perf_counter() - t0
+            saved = True
+
+    headline_ms = _median(post_save_ms) if post_save_ms else _median(e2e_ms)
+    eps = batch_size / headline_ms * 1e3
+    breakdown = {
+        "host_pack_ms_per_step": round(host_ms, 3),
+        "device_ms_per_step": round(_median(dev_ms), 3),
+        "e2e_ms_per_step": round(_median(e2e_ms), 3),
+        "e2e_windows_ms": [round(x, 2) for x in e2e_ms],
+        "device_windows_ms": [round(x, 2) for x in dev_ms],
+        "best_eps": round(batch_size / min(e2e_ms) * 1e3, 1),
+    }
+    if prod_save_dir is not None:
+        breakdown["ckpt_save_s"] = round(save_s, 2)
+        breakdown["post_save_e2e_ms_per_step"] = (
+            round(_median(post_save_ms), 3) if post_save_ms else None)
+    return eps, breakdown
+
+
+def _prod_dir():
+    if os.environ.get("MT_BENCH_PROD", "0") == "1":
+        import tempfile
+        return tempfile.mkdtemp(prefix="mt_bench_ckpt_")
+    return None
+
+
+def _metrics_on():
+    return os.environ.get("MT_BENCH_PROD", "0") == "1"
 
 
 def bench_deepfm():
@@ -61,7 +149,7 @@ def bench_deepfm():
                       hidden=(256, 128, 64))
     trainer = Trainer(task, TrainerConfig(
         engine=EngineConfig(num_shards=1, unique_cap=32768, new_cap=32768),
-        log_every=0, metrics_enabled=False))
+        log_every=0, metrics_enabled=_metrics_on()))
     data = SyntheticCTR(num_users=1_000_000, num_items=200_000,
                         batch_size=batch_size, seed=0)
     it = iter(data)
@@ -70,36 +158,29 @@ def bench_deepfm():
         out = trainer.train_step(fb, b)
     jax.block_until_ready(out["loss"])
     batches = [next(it) for _ in range(24)]
-    eps = _run_chain(trainer, batches, batch_size, K=8, steps_per_run=192,
-                     n_runs=8)
-    return "deepfm_train_examples_per_sec", batch_size, eps
+    eps, breakdown = _bench_protocol(trainer, batches, batch_size, K=8,
+                                     steps_per_run=192, n_runs=8,
+                                     prod_save_dir=_prod_dir())
+    return "deepfm_train_examples_per_sec", batch_size, eps, breakdown
 
 
 def bench_multislot():
-    import os
-
     from monolith_tpu.data.synthetic import SyntheticMultiSlot
     from monolith_tpu.embedding.engine import EngineConfig
     from monolith_tpu.models.multislot import MultiSlotTask
     from monolith_tpu.training.trainer import Trainer, TrainerConfig
 
     batch_size = 8192
-    # measured (PERF.md): with ~2.3GB of pool state across 17 tables the
-    # Pallas row-DMA kernels hit a memory-pressure cliff (247 vs 60 ms/step
-    # same-process A/B) while the XLA scatter does not; the single-table
-    # flagship (1GB) keeps the kernel win. Until the cliff is understood,
-    # the many-table bench uses the XLA path.
-    os.environ.setdefault("MT_PALLAS_SCATTER", "0")
+    # merge=True: all 17 same-config tables collapse into ONE physical table
+    # (slot-encoded fids are disjoint) -> one gather + one scatter + one
+    # wire segment per step regardless of table count; ~39k merged uniques
+    # per step measured on this stream (fits the uint16 wire).
     task = MultiSlotTask(num_tables=16, num_slots=40, embedding_dim=16,
                          capacity_per_shard=1 << 18, history_length=20,
-                         hidden=(256, 128, 64))
-    # caps sized to the measured workload (zipf slots: 2-4k uniques/step,
-    # history: ~8.5k): per-table caps keep every gather/scatter/wire tight
+                         hidden=(256, 128, 64), merge=True)
     trainer = Trainer(task, TrainerConfig(
-        engine=EngineConfig(num_shards=1, unique_cap=6144, new_cap=6144,
-                            unique_caps=(("table_hist", 16384),),
-                            new_caps=(("table_hist", 16384),)),
-        log_every=0, metrics_enabled=False))
+        engine=EngineConfig(num_shards=1, unique_cap=49152, new_cap=49152),
+        log_every=0, metrics_enabled=_metrics_on()))
     data = SyntheticMultiSlot(num_slots=40, vocab_per_slot=100_000,
                               history_length=20, batch_size=batch_size,
                               seed=0)
@@ -109,9 +190,10 @@ def bench_multislot():
         out = trainer.train_step(fb, b)
     jax.block_until_ready(out["loss"])
     batches = [next(it) for _ in range(16)]
-    eps = _run_chain(trainer, batches, batch_size, K=8, steps_per_run=96,
-                     n_runs=6)
-    return "multislot_train_examples_per_sec", batch_size, eps
+    eps, breakdown = _bench_protocol(trainer, batches, batch_size, K=8,
+                                     steps_per_run=96, n_runs=6,
+                                     prod_save_dir=_prod_dir())
+    return "multislot_train_examples_per_sec", batch_size, eps, breakdown
 
 
 def main():
@@ -123,12 +205,15 @@ def main():
         pass
     config = os.environ.get("MT_BENCH_CONFIG", "deepfm")
     fn = {"deepfm": bench_deepfm, "multislot": bench_multislot}[config]
-    metric, batch_size, eps = fn()
+    metric, batch_size, eps, breakdown = fn()
+    if _metrics_on():
+        metric += "_prod"
     result = {
         "metric": metric,
         "value": round(eps, 1),
         "unit": "examples/s",
         "vs_baseline": round(eps / NOMINAL_BASELINE_EPS, 3),
+        "breakdown": breakdown,
     }
     try:
         details = []

@@ -87,11 +87,16 @@ class Batcher2D {
   // dispatch can overlap two in-flight steps' host callbacks).
   std::mutex& mu() { return mu_; }
 
+  // `out_occurrence` (optional, [S, global_cap] aligned with out_unique):
+  // per-unique batch occurrence counts across ALL batch shards — consumed
+  // by the count-proportional admission filters (ref ShouldBeFiltered's
+  // count arg, probabilistic_filter.h:48) so frequency filtering behaves
+  // identically on the bucketed-a2a path and the single-shard path.
   int64_t Dedup(const int64_t* values, int64_t n, int32_t num_batch_shards,
                 int32_t num_shards, int64_t global_cap, int64_t bucket_cap,
                 int64_t* out_unique, int32_t* out_counts,
                 int32_t* out_bucket_idx, int32_t* out_bucket_counts,
-                int32_t* out_index) {
+                int32_t* out_index, int32_t* out_occurrence = nullptr) {
     const int32_t S = num_shards, D = num_batch_shards;
     global_.Ensure((uint64_t)n);
     bucket_.Ensure((uint64_t)n / std::max(D, 1) + 16);
@@ -101,6 +106,8 @@ class Batcher2D {
     std::fill(out_counts, out_counts + S, 0);
     std::fill(out_bucket_idx, out_bucket_idx + (int64_t)S * D * bucket_cap, -1);
     std::fill(out_bucket_counts, out_bucket_counts + (int64_t)S * D, 0);
+    if (out_occurrence)
+      std::fill(out_occurrence, out_occurrence + (int64_t)S * global_cap, 0);
 
     const int64_t per_shard = n / D;
     int64_t overflow = 0;
@@ -117,7 +124,11 @@ class Batcher2D {
         bool fresh_b;
         int64_t* bslot = bucket_.FindOrInsert(fid, h, &fresh_b);
         if (!fresh_b) {  // bucket position already assigned for this d
-          idx_out[i] = (int32_t)*bslot;
+          if (*bslot < 0) { idx_out[i] = -1; continue; }
+          // bslot packs (global unique slot gj << 32) | recv-buffer index
+          idx_out[i] = (int32_t)(*bslot & 0xFFFFFFFF);
+          if (out_occurrence)
+            ++out_occurrence[(int64_t)s * global_cap + (*bslot >> 32)];
           continue;
         }
         // need a global position for (s, fid)
@@ -140,6 +151,8 @@ class Batcher2D {
           continue;
         }
         int32_t gj = (int32_t)(*gslot & 0xFFFFFFFF);
+        if (out_occurrence)
+          ++out_occurrence[(int64_t)s * global_cap + gj];
         int32_t bc = out_bucket_counts[(int64_t)s * D + d];
         if (bc >= bucket_cap) {  // bucket overflow: drop for this shard
           *bslot = -1;
@@ -150,7 +163,7 @@ class Batcher2D {
         out_bucket_idx[((int64_t)s * D + d) * bucket_cap + bc] = gj;
         out_bucket_counts[(int64_t)s * D + d] = bc + 1;
         int64_t local = (int64_t)s * bucket_cap + bc;  // recv-buffer index
-        *bslot = local;
+        *bslot = ((int64_t)gj << 32) | (uint32_t)local;
         idx_out[i] = (int32_t)local;
       }
     }
@@ -183,6 +196,22 @@ int64_t mt_batcher2d_dedup(void* b, const int64_t* values, int64_t n,
   return bb->Dedup(values, n, num_batch_shards, num_shards, global_cap,
                    bucket_cap, out_unique, out_counts, out_bucket_idx,
                    out_bucket_counts, out_index);
+}
+
+// Dedup that also emits per-unique batch occurrence counts (see
+// Batcher2D::Dedup's out_occurrence).
+int64_t mt_batcher2d_dedup2(void* b, const int64_t* values, int64_t n,
+                            int32_t num_batch_shards, int32_t num_shards,
+                            int64_t global_cap, int64_t bucket_cap,
+                            int64_t* out_unique, int32_t* out_counts,
+                            int32_t* out_bucket_idx,
+                            int32_t* out_bucket_counts,
+                            int32_t* out_index, int32_t* out_occurrence) {
+  Batcher2D* bb = static_cast<Batcher2D*>(b);
+  std::lock_guard<std::mutex> g(bb->mu());
+  return bb->Dedup(values, n, num_batch_shards, num_shards, global_cap,
+                   bucket_cap, out_unique, out_counts, out_bucket_idx,
+                   out_bucket_counts, out_index, out_occurrence);
 }
 
 }  // extern "C"

@@ -362,10 +362,20 @@ class EmbeddingEngine:
             flat = np.concatenate(
                 [st[d * rows_per:(d + 1) * rows_per].ravel()
                  for d in range(D) for st in streams])
-            unique, counts, bucket_idx, bucket_counts, index, overflow = \
-                self.batchers2d[tname].dedup(flat, num_batch_shards=D,
-                                             num_shards=S, global_cap=U,
-                                             bucket_cap=cap)
+            # count-aware admission on the a2a path too: the reference feeds
+            # per-id batch counts to the filters on EVERY topology
+            # (embedding_hash_table_tf_bridge.cc:183)
+            occ = None
+            if self.tables[tname].admission.kind != "none":
+                (unique, counts, bucket_idx, bucket_counts, index, occ,
+                 overflow) = self.batchers2d[tname].dedup2(
+                    flat, num_batch_shards=D, num_shards=S, global_cap=U,
+                    bucket_cap=cap)
+            else:
+                unique, counts, bucket_idx, bucket_counts, index, overflow = \
+                    self.batchers2d[tname].dedup(flat, num_batch_shards=D,
+                                                 num_shards=S, global_cap=U,
+                                                 bucket_cap=cap)
             compact = cfg.compact_wire
             packed = self.packed
             rows = np.full((S, U), -1, dtype=np.int32)
@@ -390,14 +400,17 @@ class EmbeddingEngine:
                 c = int(counts[s_i])
                 if c == 0:
                     continue
-                if packed or compact:
+                if packed or compact or occ is not None:
                     r, nr, nf, npos = self.stores[tname][s_i].map_train_pos(
                         unique[s_i, :c], ts=ts, new_cap=K,
-                        record_touch=cfg.record_touch)
+                        record_touch=cfg.record_touch,
+                        counts=None if occ is None else occ[s_i, :c])
                     if packed:
                         new_mask[s_i, npos] = 1
-                    else:
+                    elif compact:
                         new_pos[s_i, :len(npos)] = npos
+                    else:
+                        new_rows[s_i, :len(nr)] = nr
                 else:
                     r, nr, nf = self.stores[tname][s_i].map_train(
                         unique[s_i, :c], ts=ts, new_cap=K,
@@ -564,13 +577,17 @@ class EmbeddingEngine:
         transfer count from ~5 to 1. Enabled on the packed single-shard
         path (multi-shard inputs are sharded pytrees; see sharded.py).
 
-        The wire always carries per-feature indices as int16, so the path
-        requires unique_cap <= 32768 (index values < unique_cap) and an
-        explicit compact_wire opt-in — larger caps fall back to the
-        multi-array int32 path instead of silently wrapping indices."""
+        The wire carries per-feature indices as 16-bit words decoded as
+        UNSIGNED (sentinel 0xFFFF = invalid), so the path requires
+        unique_cap <= 65535 (index values < unique_cap, and 65535 is
+        reserved) and an explicit compact_wire opt-in — larger caps fall
+        back to the multi-array int32 path instead of silently wrapping.
+        Merged same-config tables (merge.py, ref MergedMultiTypeHashTable)
+        need the unsigned range: a dozens-of-slots model merged into one
+        table sees ~50k unique rows/step."""
         return (self.packed and self.config.compact_wire
                 and self.config.num_shards == 1
-                and self.config.max_ucap <= 32768
+                and self.config.max_ucap <= 65535
                 and not self.config.tiered)
 
     def wire_words(self, batch_size: int) -> int:
@@ -597,12 +614,13 @@ class EmbeddingEngine:
         larger caller-owned transfer buffer."""
         from monolith_tpu.embedding import host_store
         cfg = self.config
-        if cfg.max_ucap > 32768 or not cfg.compact_wire:
-            # int16 feature indices can only address 32768 unique rows; a
-            # larger cap would wrap negative and silently alias rows
+        if cfg.max_ucap > 65535 or not cfg.compact_wire:
+            # 16-bit feature indices (decoded unsigned, 0xFFFF sentinel) can
+            # only address 65535 unique rows; a larger cap would silently
+            # alias rows
             raise ValueError(
                 f"prepare_wire requires compact_wire and unique caps <= "
-                f"32768 (got compact_wire={cfg.compact_wire}, max cap "
+                f"65535 (got compact_wire={cfg.compact_wire}, max cap "
                 f"{cfg.max_ucap}); use prepare_batch (int32 indices)")
         names, streams_per_table = [], []
         offsets = [0]
@@ -683,8 +701,12 @@ class EmbeddingEngine:
                 words = (n + 1) // 2
                 chunk = wire[off:off + words]
                 off += words
+                # 16-bit index words decode UNSIGNED: 0xFFFF (= int16 -1 on
+                # the wire) is the invalid sentinel, values up to 65534 are
+                # valid rows — merged tables exceed the int15 range
                 idx16 = jax.lax.bitcast_convert_type(
-                    chunk, jnp.int16).reshape(-1)[:n]
+                    chunk, jnp.uint16).reshape(-1)[:n].astype(jnp.int32)
+                idx16 = jnp.where(idx16 == 0xFFFF, -1, idx16)
                 index[f.name] = idx16.reshape(batch_size, f.max_length)
             inputs[tname] = {"rows": rows[None], "new_mask": mask[None],
                              "index": index}
@@ -831,17 +853,44 @@ class EmbeddingEngine:
         """Per-feature gather + combine from the unique buffers.
 
         Differentiable wrt unique_embs (autodiff yields per-unique-row summed
-        gradients — the reference's fused_gather_embeddings_by_input_gradient)."""
+        gradients — the reference's fused_gather_embeddings_by_input_gradient).
+
+        Scalar slots (max_length == 1, sum/mean combiners) sharing a table
+        are BATCHED into one gather: a merged dozens-of-slots table would
+        otherwise pay 40 separate gather kernels (and 40 scatter-adds in the
+        backward) where one [B, k] gather does — the role of the reference's
+        fused_embedding_to_layout (runtime/ops/fused_embedding_to_layout.cc,
+        one op scattering every slot's embeddings into the model layouts)."""
         pooled = {}
         for tname, tin in inputs.items():
             buf = unique_embs[tname]
             n = buf.shape[0]
+            scalars = []  # (fname, idx [B, 1]) — poolable in one gather
             for fname, idx in tin["index"].items():
                 f = self.features[fname]
                 idx = jnp.asarray(idx)
+                if (f.max_length == 1 and idx.shape[-1] == 1
+                        and f.combiner in ("sum", "mean")):
+                    scalars.append((fname, idx))
+                    continue
                 safe = jnp.where(idx < 0, jnp.int32(n), idx.astype(jnp.int32))
                 emb = buf.at[safe].get(mode="fill", fill_value=0)  # [B, L, D]
                 pooled[fname] = combine(emb, idx >= 0, f.combiner)
+            if len(scalars) == 1:
+                fname, idx = scalars[0]
+                safe = jnp.where(idx < 0, jnp.int32(n), idx.astype(jnp.int32))
+                emb = buf.at[safe].get(mode="fill", fill_value=0)
+                pooled[fname] = combine(emb, idx >= 0,
+                                        self.features[fname].combiner)
+            elif scalars:
+                idx = jnp.concatenate([i for _, i in scalars], axis=1)  # [B,k]
+                safe = jnp.where(idx < 0, jnp.int32(n), idx.astype(jnp.int32))
+                emb = buf.at[safe].get(mode="fill", fill_value=0)  # [B, k, D]
+                # sum/mean over a single valid element are both the element
+                # itself (invalid slots read zeros via the fill), so the
+                # per-slot combine reduces to a column slice
+                for j, (fname, _) in enumerate(scalars):
+                    pooled[fname] = emb[:, j]
         return pooled
 
     def apply_gradients(self, states: Dict, inputs: Dict,

@@ -406,6 +406,33 @@ class Batcher2D:
             _ptr(index, ctypes.c_int32))
         return unique, counts, bucket_idx, bucket_counts, index, int(overflow)
 
+    def dedup2(self, values: np.ndarray, num_batch_shards: int,
+               num_shards: int, global_cap: int, bucket_cap: int):
+        """dedup that also returns per-unique batch occurrence counts
+        ([S, global_cap] int32, aligned with `unique`) — feeds the
+        count-proportional admission filters on the bucketed-a2a path
+        (ref embedding_hash_table_tf_bridge.cc:183 passes per-id counts on
+        every path, not just the single-worker one)."""
+        values = np.ascontiguousarray(values, dtype=np.int64).ravel()
+        n = values.size
+        assert n % num_batch_shards == 0
+        S, D = num_shards, num_batch_shards
+        unique = np.empty((S, global_cap), dtype=np.int64)
+        counts = np.empty(S, dtype=np.int32)
+        bucket_idx = np.empty((S, D, bucket_cap), dtype=np.int32)
+        bucket_counts = np.empty((S, D), dtype=np.int32)
+        index = np.empty(n, dtype=np.int32)
+        occ = np.empty((S, global_cap), dtype=np.int32)
+        overflow = self._lib.mt_batcher2d_dedup2(
+            self._h, _ptr(values, ctypes.c_int64), n, D, S,
+            global_cap, bucket_cap,
+            _ptr(unique, ctypes.c_int64), _ptr(counts, ctypes.c_int32),
+            _ptr(bucket_idx, ctypes.c_int32),
+            _ptr(bucket_counts, ctypes.c_int32),
+            _ptr(index, ctypes.c_int32), _ptr(occ, ctypes.c_int32))
+        return (unique, counts, bucket_idx, bucket_counts, index, occ,
+                int(overflow))
+
 
 def shard_of(fid: int, num_shards: int) -> int:
     return int(native.get_lib().mt_shard_of(int(fid), int(num_shards)))

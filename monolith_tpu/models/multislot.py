@@ -74,6 +74,12 @@ class MultiSlotTask(RecTask):
     table_dtype: jnp.dtype = jnp.float32
     stochastic_rounding: bool = False
     dense_dtype: jnp.dtype = None
+    # Merge the identically-configured tables into ONE physical table (ref
+    # MergedMultiTypeHashTable, multi_type_hash_table.py:253): slot-encoded
+    # fids are disjoint across slots, capacities add up, and the engine then
+    # runs ONE gather + ONE scatter per step instead of one pair per table —
+    # the production-shaped fast path (PERF.md round 3).
+    merge: bool = False
 
     def _segments(self):
         return (
@@ -88,7 +94,7 @@ class MultiSlotTask(RecTask):
                              -self.init_scale, self.init_scale)),
         )
 
-    def tables(self):
+    def _raw(self):
         specs = [TableSpec(name=f"table_{t}",
                            capacity_per_shard=self.capacity_per_shard,
                            segments=self._segments(),
@@ -100,9 +106,6 @@ class MultiSlotTask(RecTask):
                                segments=self._segments(),
                                dtype=self.table_dtype,
                                stochastic_rounding=self.stochastic_rounding))
-        return specs
-
-    def features(self):
         feats = [FeatureConfig(name=f"slot_{s}",
                                table=f"table_{s % self.num_tables}",
                                max_length=1, combiner="sum")
@@ -110,7 +113,26 @@ class MultiSlotTask(RecTask):
         feats.append(FeatureConfig(name="hist_items", table="table_hist",
                                    max_length=self.history_length,
                                    combiner="firstn"))
-        return feats
+        if not self.merge:
+            return specs, feats
+        from monolith_tpu.embedding.merge import merge_table_specs
+        import dataclasses as _dc
+        specs, feats, mapping = merge_table_specs(specs, feats)
+        # all 17 configs are identical -> one merged table; give it a stable
+        # name so EngineConfig per-table caps can reference it
+        rename = {s.name: "table_all" for s in specs
+                  if s.name.startswith("merged_")}
+        specs = [_dc.replace(s, name=rename.get(s.name, s.name))
+                 for s in specs]
+        feats = [_dc.replace(f, table=rename.get(f.table, f.table))
+                 for f in feats]
+        return specs, feats
+
+    def tables(self):
+        return self._raw()[0]
+
+    def features(self):
+        return self._raw()[1]
 
     def build_module(self):
         return MultiSlotModule(embedding_dim=self.embedding_dim,

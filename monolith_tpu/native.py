@@ -118,6 +118,11 @@ def _declare(lib: ctypes.CDLL) -> None:
         ctypes.c_void_p, c_i64_p, ctypes.c_int64, ctypes.c_int32,
         ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
         c_i64_p, c_i32_p, c_i32_p, c_i32_p, c_i32_p]
+    d.mt_batcher2d_dedup2.restype = ctypes.c_int64
+    d.mt_batcher2d_dedup2.argtypes = [
+        ctypes.c_void_p, c_i64_p, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
+        c_i64_p, c_i32_p, c_i32_p, c_i32_p, c_i32_p, c_i32_p]
 
 
 def get_lib() -> ctypes.CDLL:

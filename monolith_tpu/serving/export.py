@@ -30,33 +30,53 @@ from flax import serialization
 
 
 def export_model(trainer, directory: str, step: Optional[int] = None) -> str:
-    """Export trainer state for serving; returns export path."""
+    """Export trainer state for serving; returns export path.
+
+    Works on every trainer topology: single-device, sharded, and
+    MultiHostTrainer. In multi-process runs each process exports ONLY its
+    own table shards (globally-sharded pools are not addressable across
+    processes), process 0 writes the dense params + metadata, and all
+    processes barrier before the EXPORT pointer lands — the reference's
+    DistributedExporter writes per-PS shard dumps the same way
+    (saved_model_exporters.py:571)."""
     step = trainer.step if step is None else step
     path = os.path.join(directory, f"export-{step}")
+    multiproc = jax.process_count() > 1
+    proc0 = jax.process_index() == 0
     os.makedirs(os.path.join(path, "tables"), exist_ok=True)
 
-    with open(os.path.join(path, "dense.msgpack"), "wb") as f:
-        f.write(serialization.to_bytes(jax.device_get(trainer.params)))
-    if getattr(trainer, "model_state", None):
-        with open(os.path.join(path, "model_state.msgpack"), "wb") as f:
-            f.write(serialization.to_bytes(jax.device_get(trainer.model_state)))
+    if proc0:
+        with open(os.path.join(path, "dense.msgpack"), "wb") as f:
+            f.write(serialization.to_bytes(jax.device_get(trainer.params)))
+        if getattr(trainer, "model_state", None):
+            with open(os.path.join(path, "model_state.msgpack"), "wb") as f:
+                f.write(serialization.to_bytes(
+                    jax.device_get(trainer.model_state)))
 
     from monolith_tpu.embedding import table as table_lib
+    from monolith_tpu.training.checkpoint import _shard_data
 
     meta = {"step": step, "ts": int(time.time()), "tables": {}}
     for tname, spec in trainer.engine.tables.items():
-        state = jax.device_get(trainer.table_states[tname])
+        state = trainer.table_states[tname]
         num_shards = jax.tree.leaves(state)[0].shape[0]
         seg_meta = [{"dim": s.dim, "compressor": s.compressor.name}
                     for s in spec.segments]
         meta["tables"][tname] = {"shards": num_shards, "dim": spec.dim,
                                  "capacity_per_shard": spec.capacity_per_shard,
                                  "segments": seg_meta}
-        for s in range(num_shards):
+        local = getattr(trainer, "local_device_ids", None)
+        shard_ids = (list(local) if multiproc and local is not None
+                     else range(num_shards))
+        for s in shard_ids:
             store = trainer.engine.stores[tname][s]
             fids, rows, _, _ = store.save()
             # export only live rows, in fid order, compressed per segment
-            pool = table_lib.params_np(spec, jax.tree.map(lambda x: x[s], state))
+            shard_state = jax.tree.map(
+                lambda x: _shard_data(x, s)
+                if not getattr(x, "is_fully_addressable", True)
+                else np.asarray(x[s]), state)
+            pool = table_lib.params_np(spec, shard_state)
             live = pool[rows] if len(rows) else np.zeros((0, spec.dim), np.float32)
             arrays = {"fids": fids}
             off = 0
@@ -74,10 +94,18 @@ def export_model(trainer, directory: str, step: Optional[int] = None) -> str:
                 off += seg.dim
             np.savez(os.path.join(path, "tables", f"{tname}-s{s}.npz"), **arrays)
 
-    with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump(meta, f)
-    with open(os.path.join(directory, "EXPORT"), "w") as f:
-        f.write(str(step))
+    if proc0:
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f)
+    if multiproc:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(f"mt_export_{step}")
+    if proc0:
+        with open(os.path.join(directory, "EXPORT"), "w") as f:
+            f.write(str(step))
+    if multiproc:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(f"mt_export_done_{step}")
     return path
 
 

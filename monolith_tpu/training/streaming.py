@@ -51,19 +51,66 @@ class StreamingTrainer:
                              "parameter sync (EngineConfig(record_touch=True))")
         self.pushed_rows = 0
         self.sync_rounds = 0
+        self._gather_jit: Dict[str, object] = {}
 
     # ------------------------------------------------------------------
 
+    def _gather(self, tname):
+        """Jitted touched-rows gather: [n_pad] row ids (-1 pad) -> [n_pad,
+        dim] params, computed ON DEVICE so the D2H transfer is O(touched
+        rows), not O(pool bytes) — the reference drains only touched keys'
+        rows the same way (hopscotch steal -> PushRequest,
+        hopscotch_hash_set.h:52)."""
+        if tname not in self._gather_jit:
+            from monolith_tpu.embedding import table as table_lib
+            spec = self.trainer.engine.tables[tname]
+            self._gather_jit[tname] = jax.jit(
+                lambda st, rows: table_lib.lookup(spec, st, rows))
+        return self._gather_jit[tname]
+
+    @staticmethod
+    def _pad_cap(n: int) -> int:
+        """Pow-2 bucket >= n: bounds jit recompiles across sync rounds."""
+        p = 512
+        while p < n:
+            p <<= 1
+        return p
+
+    @staticmethod
+    def _shard_state(state, s: int):
+        """Shard s's device-resident state slice. Single-process arrays are
+        fully addressable ([S, ...] on local devices); under
+        MultiHostTrainer the pools are globally sharded and only the
+        process's own shards are addressable — the owner drains/pushes its
+        local shards (ref: per-PS sync thread, cpu_training.py:1736-1767)."""
+        def pick(x):
+            if getattr(x, "is_fully_addressable", True):
+                return x[s]
+            for sh in x.addressable_shards:
+                idx = sh.index[0]
+                if (idx.start or 0) <= s < (idx.stop
+                                            if idx.stop is not None else s + 1):
+                    return sh.data[s - (idx.start or 0)]
+            return None
+        return jax.tree.map(pick, state)
+
     def sync_now(self) -> Dict[str, int]:
-        """Drain touched fids and push deltas to serving (one sync round)."""
+        """Drain touched fids and push deltas to serving (one sync round).
+
+        Per local shard: drain touched fids (host set steal) -> host map to
+        rows -> jitted device gather of JUST those rows -> small D2H ->
+        push. Cost scales with touched rows, never pool size; works on
+        single-device, sharded, and multi-process trainers."""
         if self.sync is None:
             return {}
         t = self.trainer
         pushed = {}
         for tname, spec in t.engine.tables.items():
-            state = jax.device_get(t.table_states[tname])
+            state = t.table_states[tname]
             fids_all, vals_all = [], []
             for s, store in enumerate(t.engine.stores[tname]):
+                if store is None:  # not our shard (multi-process run)
+                    continue
                 fids = store.drain_touched(cap=self.config.max_push_rows)
                 if fids.size == 0:
                     continue
@@ -72,11 +119,14 @@ class StreamingTrainer:
                 fids, rows = fids[ok], rows[ok]
                 if fids.size == 0:
                     continue
+                n = fids.size
+                rows_p = np.full(self._pad_cap(n), -1, np.int32)
+                rows_p[:n] = rows
+                shard_state = self._shard_state(state, s)
+                vals = np.asarray(
+                    self._gather(tname)(shard_state, rows_p))[:n]
                 fids_all.append(fids)
-                from monolith_tpu.embedding import table as table_lib
-                pool = table_lib.params_np(
-                    spec, jax.tree.map(lambda x: x[s], state))
-                vals_all.append(pool[rows])
+                vals_all.append(vals)
             if not fids_all:
                 continue
             fids = np.concatenate(fids_all)

@@ -57,7 +57,8 @@ def main():
     task = DeepFMTask(embedding_dim=8, capacity_per_shard=4096,
                       hidden=(16, 8), init_scale=0.0)
     cfg = TrainerConfig(engine=EngineConfig(num_shards=S, unique_cap=512,
-                                            new_cap=512, bucket_cap=128),
+                                            new_cap=512, bucket_cap=128,
+                                            record_touch=(mode == "streaming")),
                         log_every=0, metrics_enabled=True)
     trainer = MultiHostTrainer(task, cfg)
     assert trainer.local_device_ids == list(
@@ -125,6 +126,85 @@ def main():
         res = est.train(stream(), steps=steps)
         print(f"RESULT {pid} step={est.trainer.step} "
               f"loss={res['loss']:.5f} auc={res['auc']:.4f}", flush=True)
+    elif mode == "streaming":
+        # Realtime sync on the multi-host topology (VERDICT r2 #3; ref
+        # per-PS sync thread cpu_training.py:1736-1767): every process
+        # drains ITS local shards' touched fids, device-gathers just those
+        # rows, and pushes the delta to a shared serving replica. The
+        # replica must end up holding each shard's exact trained values.
+        import time as _time
+        from jax.experimental import multihost_utils
+        from monolith_tpu.embedding import table as table_lib
+        from monolith_tpu.serving.agent import ServingAgent, ServingClient
+        from monolith_tpu.serving.engine import ServingModel
+        from monolith_tpu.serving.export import export_model
+        from monolith_tpu.serving.param_sync import SyncClientManager
+        from monolith_tpu.training.streaming import (StreamingConfig,
+                                                     StreamingTrainer)
+
+        for i in range(4):  # warm start before the cold export
+            trainer.train_step(*next_local(), ts=i)
+        path = export_model(trainer, ckpt_dir)  # distributed per-shard dump
+
+        addr_file = os.path.join(ckpt_dir, "agent_addr")
+        agent = None
+        if pid == 0:
+            model = ServingModel(task, path)
+            agent = ServingAgent(model, port=0)
+            addr = agent.start()
+            with open(addr_file + ".tmp", "w") as f:
+                f.write(addr)
+            os.replace(addr_file + ".tmp", addr_file)
+        else:
+            for _ in range(600):
+                if os.path.exists(addr_file):
+                    break
+                _time.sleep(0.1)
+            with open(addr_file) as f:
+                addr = f.read()
+
+        sync = SyncClientManager("m", static_targets=[addr])
+        st = StreamingTrainer(trainer, sync,
+                              StreamingConfig(sync_interval_steps=5))
+
+        def stream():
+            for i in range(steps):
+                yield next_local()
+
+        res = st.run(stream())
+        # verify: every LOCAL shard's live fids must read back from the
+        # replica with the exact trained values (both processes pushed)
+        client = ServingClient(addr)
+        matched = checked = 0
+        state = trainer.table_states["sparse"]
+        spec = trainer.engine.tables["sparse"]
+        for s in trainer.local_device_ids:
+            store = trainer.engine.stores["sparse"][s]
+            fids, rows, _, _ = store.save()
+            take = min(len(fids), 64)
+            if take == 0:
+                continue
+            fids, rows = fids[:take], rows[:take]
+            shard_state = StreamingTrainer._shard_state(state, s)
+            expected = np.asarray(table_lib.lookup(
+                spec, shard_state, np.asarray(rows, np.int32)))
+            got = client.lookup("sparse", fids)
+            m = np.isclose(got, expected, rtol=1e-5).all(axis=1)
+            matched += int(m.sum())
+            checked += take
+        client.close()
+        multihost_utils.sync_global_devices("streaming_checked")
+        if agent is not None:
+            replica_size = agent.model.stores["sparse"].size()
+            agent.stop()
+        else:
+            replica_size = -1
+        local_size = sum(trainer.engine.stores["sparse"][s].size()
+                         for s in trainer.local_device_ids)
+        print(f"RESULT {pid} pushed={res['pushed_rows']} "
+              f"rounds={res['sync_rounds']} matched={matched} "
+              f"checked={checked} local_size={local_size} "
+              f"replica_size={replica_size}", flush=True)
     else:
         raise ValueError(mode)
 

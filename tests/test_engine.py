@@ -482,12 +482,17 @@ class TestNewCapBudget:
         feats = [FeatureConfig(name="f", table="t", max_length=2,
                                combiner="sum")]
         eng = EmbeddingEngine(tables, feats,
-                              EngineConfig(num_shards=1, unique_cap=40960))
-        # int16 wire indices cannot address >32768 uniques: the fused wire
-        # path must be OFF, and a direct prepare_wire call must fail loudly
+                              EngineConfig(num_shards=1, unique_cap=81920))
+        # 16-bit wire indices (unsigned, 0xFFFF sentinel) cannot address
+        # >65535 uniques: the fused wire path must be OFF, and a direct
+        # prepare_wire call must fail loudly
         assert not eng.fuse_wire
         with pytest.raises(ValueError):
             eng.prepare_wire({"f": np.zeros((2, 2), np.int64)}, ts=1)
+        # caps in (32768, 65535] ride the unsigned decode (merged tables)
+        eng_u = EmbeddingEngine(tables, feats,
+                                EngineConfig(num_shards=1, unique_cap=40960))
+        assert eng_u.fuse_wire
         eng2 = EmbeddingEngine(tables, feats,
                                EngineConfig(num_shards=1, unique_cap=1024,
                                             compact_wire=False))

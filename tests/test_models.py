@@ -109,3 +109,36 @@ class TestMultiSlot:
         # all 5 tables saw traffic
         for t, stores in tr.engine.stores.items():
             assert stores[0].size() > 0, t
+
+    def test_merged_matches_unmerged_bitwise(self):
+        """merge=True collapses the 5 same-config tables into one physical
+        table (ref MergedMultiTypeHashTable, multi_type_hash_table.py:253).
+        Slot-encoded fids are disjoint, so per-row state and updates are
+        independent of which pool hosts the row: with deterministic init
+        (init_scale=0 -> zeros) the merged run must match the unmerged run
+        loss-for-loss, step-for-step."""
+        from monolith_tpu.data.synthetic import SyntheticMultiSlot
+        from monolith_tpu.embedding.engine import EngineConfig
+        from monolith_tpu.models.multislot import MultiSlotTask
+        from monolith_tpu.training.trainer import Trainer, TrainerConfig
+
+        losses = {}
+        for merge in (False, True):
+            task = MultiSlotTask(num_tables=4, num_slots=10, embedding_dim=8,
+                                 capacity_per_shard=8192, history_length=6,
+                                 hidden=(32,), init_scale=0.0, merge=merge)
+            if merge:
+                assert [s.name for s in task.tables()] == ["table_all"]
+            tr = Trainer(task, TrainerConfig(
+                engine=EngineConfig(unique_cap=4096, new_cap=4096),
+                log_every=0))
+            data = SyntheticMultiSlot(num_slots=10, vocab_per_slot=300,
+                                      history_length=6, batch_size=256,
+                                      seed=3)
+            it = iter(data)
+            ls = []
+            for _ in range(12):
+                fb, b = next(it)
+                ls.append(float(tr.train_step(fb, b)["loss"]))
+            losses[merge] = ls
+        np.testing.assert_array_equal(losses[False], losses[True])

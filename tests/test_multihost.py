@@ -37,6 +37,10 @@ def run_workers(nproc, steps, local_devices, mode, ckpt_dir):
     port = _free_port()
     env = dict(os.environ, PYTHONPATH=ROOT)
     env.pop("XLA_FLAGS", None)  # workers manage their own device config
+    # CPU-only workers: skip the axon TPU-plugin registration that the
+    # image's sitecustomize runs at interpreter start — it dials the TPU
+    # tunnel and can hang python startup when the tunnel is flaky
+    env["PALLAS_AXON_POOL_IPS"] = ""
     procs = [subprocess.Popen(
         [sys.executable, WORKER, str(pid), str(nproc), str(port), str(steps),
          str(local_devices), mode, ckpt_dir],
@@ -196,6 +200,32 @@ def test_multihost_evaluate_single_process():
     assert np.isfinite(res["loss"]) and 0.0 < res["auc"] < 1.0
     # eval admits nothing
     assert [s.size() for s in tr.engine.stores["sparse"]] == sizes_before
+
+
+@pytest.mark.timeout(600)
+def test_two_process_streaming_sync(tmp_path):
+    """Realtime parameter sync on the multi-host topology (ref per-PS sync
+    thread, cpu_training.py:1736-1767): 2 processes x 2 devices train under
+    MultiHostTrainer with record_touch, export a distributed per-shard
+    model, process 0 serves it, and BOTH processes push their local shards'
+    touched-row deltas. Every live fid in every shard must read back from
+    the replica with its exact final trained value, and the replica must
+    hold the union of both processes' shards."""
+    outs = run_workers(2, 15, 2, "streaming", str(tmp_path))
+    pat = (r"RESULT (\d) pushed=(\d+) rounds=(\d+) matched=(\d+) "
+           r"checked=(\d+) local_size=(\d+) replica_size=(-?\d+)")
+    res = parse_results(outs, pat)
+    for p in (0, 1):
+        assert int(res[p].group(2)) > 0, "no rows pushed"
+        assert int(res[p].group(3)) >= 3, "expected >=3 sync rounds"
+        checked = int(res[p].group(5))
+        assert checked > 0
+        # every checked fid matches its trained value exactly
+        assert int(res[p].group(4)) == checked
+    # replica holds at least the union of both processes' live ids (it may
+    # hold more: rows pushed for ids later evicted locally)
+    total = int(res[0].group(6)) + int(res[1].group(6))
+    assert int(res[0].group(7)) >= total > 0
 
 
 @pytest.mark.timeout(600)
