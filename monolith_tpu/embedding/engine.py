@@ -201,8 +201,12 @@ class EmbeddingEngine:
             for name, t in self.tables.items():
                 arch_cap = (config.archive_capacity
                             or 4 * t.capacity_per_shard)
-                self.archives[name] = [RowArchive(t, arch_cap, seed=seed + s)
-                                       for s in range(S)]
+                # like stores: a process only materializes archives for the
+                # shards it owns (multi-process runs)
+                self.archives[name] = [
+                    RowArchive(t, arch_cap, seed=seed + s)
+                    if (local is None or s in local) else None
+                    for s in range(S)]
         self.packed = (config.packed != "off"
                        and all(table_lib.is_packed(t) for t in tables))
 

@@ -58,7 +58,8 @@ def main():
                       hidden=(16, 8), init_scale=0.0)
     cfg = TrainerConfig(engine=EngineConfig(num_shards=S, unique_cap=512,
                                             new_cap=512, bucket_cap=128,
-                                            record_touch=(mode == "streaming")),
+                                            record_touch=(mode == "streaming"),
+                                            tiered=(mode == "tiered")),
                         log_every=0, metrics_enabled=True)
     trainer = MultiHostTrainer(task, cfg)
     assert trainer.local_device_ids == list(
@@ -126,6 +127,47 @@ def main():
         res = est.train(stream(), steps=steps)
         print(f"RESULT {pid} step={est.trainer.step} "
               f"loss={res['loss']:.5f} auc={res['auc']:.4f}", flush=True)
+    elif mode == "eval":
+        # train, then a distributed eval: AUC histograms psum across the
+        # WHOLE mesh, so both processes must report the identical global
+        # AUC (each once saw only its local slice)
+        for i in range(steps):
+            fb, b = next_local()
+            trainer.train_step(fb, b, ts=i)
+        res = trainer.evaluate(iter([next_local() for _ in range(3)]))
+        print(f"RESULT {pid} auc={res['auc']:.6f} loss={res['loss']:.6f}",
+              flush=True)
+    elif mode == "tiered":
+        # two-tier storage on the multi-host topology (VERDICT r2 #6):
+        # train -> spill EVERY live row to the per-shard host archives
+        # (each process reads only its addressable pool shards) -> keep
+        # training the same id universe so spilled ids re-admit and
+        # revive OWNER-SIDE through the map callback. The test checks
+        # loss parity against the single-host sharded tiered path — a
+        # fresh-init instead of an exact revive would diverge it.
+        losses = []
+        for i in range(steps):
+            fb, b = next_local()
+            out = trainer.train_step(fb, b, ts=i)
+            losses.append(float(np.asarray(out["loss"])))
+        sizes_mid = sum(trainer.engine.stores["sparse"][s].size()
+                        for s in trainer.local_device_ids)
+        spilled = trainer.spill_expired(expire_before=10 ** 9)
+        sizes_post = sum(trainer.engine.stores["sparse"][s].size()
+                         for s in trainer.local_device_ids)
+        assert sizes_post == 0, sizes_post
+        for i in range(steps):
+            fb, b = next_local()
+            out = trainer.train_step(fb, b, ts=steps + i)
+            losses.append(float(np.asarray(out["loss"])))
+        revived = sum(trainer.engine.archives["sparse"][s].revived
+                      for s in trainer.local_device_ids)
+        arch_left = sum(trainer.engine.archives["sparse"][s].size()
+                        for s in trainer.local_device_ids)
+        print(f"RESULT {pid} spilled={spilled['sparse']} revived={revived} "
+              f"sizes_mid={sizes_mid} arch_left={arch_left} "
+              f"first={np.mean(losses[:3]):.5f} "
+              f"last={np.mean(losses[-3:]):.5f}", flush=True)
     elif mode == "streaming":
         # Realtime sync on the multi-host topology (VERDICT r2 #3; ref
         # per-PS sync thread cpu_training.py:1736-1767): every process
