@@ -196,6 +196,20 @@ def bench_multislot():
     return "multislot_train_examples_per_sec", batch_size, eps, breakdown
 
 
+def bench_auc():
+    """Fixed-dataset AUC north star (quality, not speed): train the frozen
+    demo config to convergence and report eval AUC. BASELINE.md's one
+    quality bar; tests/test_auc_gate.py asserts the band every run, this
+    config records the value in BENCH_DETAILS for round-over-round
+    tracking."""
+    from monolith_tpu.demo import NORTHSTAR, northstar
+    r = northstar()
+    breakdown = {k: round(v, 5) for k, v in r.items() if k != "eval_auc"}
+    breakdown["config"] = {k: v for k, v in NORTHSTAR.items()}
+    # vs_baseline for this metric = fraction of the Bayes ceiling reached
+    return "northstar_eval_auc", NORTHSTAR["batch_size"], r["eval_auc"], breakdown
+
+
 def main():
     # persistent compile cache: repeat runs skip the ~40s first compile
     try:
@@ -204,17 +218,27 @@ def main():
     except Exception:
         pass
     config = os.environ.get("MT_BENCH_CONFIG", "deepfm")
-    fn = {"deepfm": bench_deepfm, "multislot": bench_multislot}[config]
+    fn = {"deepfm": bench_deepfm, "multislot": bench_multislot,
+          "auc": bench_auc}[config]
     metric, batch_size, eps, breakdown = fn()
     if _metrics_on():
         metric += "_prod"
-    result = {
-        "metric": metric,
-        "value": round(eps, 1),
-        "unit": "examples/s",
-        "vs_baseline": round(eps / NOMINAL_BASELINE_EPS, 3),
-        "breakdown": breakdown,
-    }
+    if config == "auc":
+        result = {
+            "metric": metric,
+            "value": round(eps, 5),
+            "unit": "auc",
+            "vs_baseline": round(eps / breakdown["bayes_auc"], 4),
+            "breakdown": breakdown,
+        }
+    else:
+        result = {
+            "metric": metric,
+            "value": round(eps, 1),
+            "unit": "examples/s",
+            "vs_baseline": round(eps / NOMINAL_BASELINE_EPS, 3),
+            "breakdown": breakdown,
+        }
     try:
         details = []
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -13,6 +13,56 @@ from __future__ import annotations
 import argparse
 import tempfile
 
+#: Fixed-dataset AUC north star (BASELINE.md: "demo-model AUC matching
+#: reference local_train within run-to-run variance"). Every knob is
+#: pinned — the synthetic generator seed IS the frozen dataset (numpy
+#: Generator output is stable across platforms), the trainer seed pins
+#: init and any stochastic ops, and the step/batch counts fix the
+#: training budget. tests/test_auc_gate.py asserts the result inside
+#: NORTHSTAR_BAND each round; bench.py (MT_BENCH_CONFIG=auc) records it
+#: in BENCH_DETAILS.json so rounds are comparable. Ref: demo model
+#: quality gate (markdown/demo/demo_model.py, model.py:52).
+NORTHSTAR = dict(steps=6000, batch_size=1024, num_users=1000, num_items=500,
+                 embedding_dim=16, data_seed=7, trainer_seed=0,
+                 eval_steps=20)
+
+#: Allowed eval-AUC band. Pinned round 3: eval_auc 0.7505 on CPU against
+#: the generator's Bayes ceiling 0.7573 (the model is essentially
+#: converged, so the number is insensitive to small float drift but any
+#: real training regression — broken admission, revive, optimizer, or
+#: pooling — lands far below the floor). Width covers CPU-vs-TPU float
+#: drift and XLA version skew.
+NORTHSTAR_BAND = (0.730, 0.768)
+
+
+def northstar(steps_per_dispatch: int = 1) -> dict:
+    """Train the demo config on the frozen dataset; return the metrics.
+
+    Returns {"train_auc", "eval_auc", "train_loss", "eval_loss",
+    "bayes_auc"} — eval_auc is the gated number."""
+    from monolith_tpu.data.synthetic import SyntheticCTR
+    from monolith_tpu.estimator import Estimator, RunnerConfig
+    from monolith_tpu.models.deepfm import DeepFMTask
+
+    ns = NORTHSTAR
+    data = SyntheticCTR(num_users=ns["num_users"],
+                        num_items=ns["num_items"],
+                        batch_size=ns["batch_size"], seed=ns["data_seed"])
+    task = DeepFMTask(embedding_dim=ns["embedding_dim"])
+    est = Estimator(task, RunnerConfig(
+        model_dir=tempfile.mkdtemp(prefix="monolith_northstar_"),
+        num_shards=1, log_every=0, seed=ns["trainer_seed"],
+        steps_per_dispatch=steps_per_dispatch))
+    def stream():  # fresh generator each call; the underlying rng state
+        while True:  # advances, so eval sees the held-out continuation
+            yield data.batch()
+
+    result = est.train(stream(), steps=ns["steps"])
+    ev = est.evaluate(stream(), steps=ns["eval_steps"])
+    return {"train_auc": result["auc"], "eval_auc": ev["auc"],
+            "train_loss": result["loss"], "eval_loss": ev["loss"],
+            "bayes_auc": data.bayes_auc(20000)}
+
 
 def main(argv=None):
     p = argparse.ArgumentParser()

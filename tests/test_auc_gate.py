@@ -1,0 +1,32 @@
+"""Fixed-dataset AUC north star (VERDICT r2 #7; BASELINE.md quality bar:
+"demo-model AUC matching reference local_train within run-to-run
+variance" — ref markdown/demo/demo_model.py, model.py:52).
+
+The dataset is frozen by construction: `NORTHSTAR['data_seed']` drives a
+numpy Generator whose output is stable across platforms, so regenerating
+IS the dataset — no vendored file needed. The trainer seed pins init.
+Every round must land `eval_auc` inside NORTHSTAR_BAND; the model is
+trained to convergence (eval 0.7505 vs the generator's 0.7573 Bayes
+ceiling when pinned in round 3), so the gate is insensitive to float
+drift but fails on any real training regression.
+
+bench.py (MT_BENCH_CONFIG=auc) records the same number in
+BENCH_DETAILS.json for round-over-round tracking.
+"""
+
+import pytest
+
+from monolith_tpu.demo import NORTHSTAR_BAND, northstar
+
+
+@pytest.mark.timeout(900)
+def test_northstar_auc_in_band():
+    r = northstar()
+    lo, hi = NORTHSTAR_BAND
+    assert lo <= r["eval_auc"] <= hi, (
+        f"north-star eval AUC {r['eval_auc']:.4f} outside [{lo}, {hi}] "
+        f"(bayes ceiling {r['bayes_auc']:.4f}) — a training-quality "
+        f"regression, or re-pin NORTHSTAR_BAND with justification")
+    # the ceiling is a property of the frozen generator; if THIS moves,
+    # the dataset itself changed (numpy version skew) — re-pin knowingly
+    assert abs(r["bayes_auc"] - 0.7573) < 0.005
