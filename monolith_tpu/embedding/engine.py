@@ -482,6 +482,34 @@ class EmbeddingEngine:
             out[tname] = np.concatenate(freed) if freed else np.empty(0, np.int64)
         return out
 
+    def zero_rows(self, table_states: Dict, freed: Dict[str, np.ndarray]
+                  ) -> Dict:
+        """Zero freed device rows so no stale state can survive eviction.
+
+        Admission already guards re-mapped rows (init-select on new_mask),
+        but any future path that maps a row without that select would read
+        the evicted id's stale params/slots — zeroing at eviction closes the
+        hazard class structurally. freed: engine.evict_expired's output
+        (shard-flattened row ids). Row lists are padded to the next power of
+        two with an out-of-range index (mode="drop") so jit specializations
+        stay bounded at O(log cap) shapes per table.
+        """
+        S = self.config.num_shards
+        out = dict(table_states)
+        for tname, rows in freed.items():
+            if rows.size == 0:
+                continue
+            cap = self.tables[tname].capacity_per_shard
+            n = 1 << max(0, int(rows.size - 1).bit_length())
+            idx = np.full(n, S * cap, dtype=np.int64)  # OOB pad -> dropped
+            idx[: rows.size] = rows
+            s_idx = (idx // cap).astype(np.int32)  # pad -> shard S (OOB)
+            r_idx = (idx % cap).astype(np.int32)
+            out[tname] = jax.tree.map(
+                lambda x: x.at[s_idx, r_idx].set(0, mode="drop"),
+                table_states[tname])
+        return out
+
     # ------------------------------------------------------------------
     # device side (pure functions of state + inputs)
     # ------------------------------------------------------------------

@@ -57,7 +57,8 @@ def save(trainer, directory: str, evict_before_save: bool = False,
         now = int(time.time())
         for tname, spec in trainer.engine.tables.items():
             if spec.eviction.ttl_seconds > 0:
-                trainer.engine.evict_expired(now - spec.eviction.ttl_seconds)
+                # trainer-level evict zeroes the freed device rows too
+                trainer.evict_expired(now - spec.eviction.ttl_seconds)
 
     if trainer.params is not None:
         with open(os.path.join(path, "dense.msgpack"), "wb") as f:
@@ -354,7 +355,8 @@ def save_distributed(trainer, directory: str,
         now = int(time.time())
         for tname, spec in trainer.engine.tables.items():
             if spec.eviction.ttl_seconds > 0:
-                trainer.engine.evict_expired(now - spec.eviction.ttl_seconds)
+                # trainer-level evict zeroes the freed device rows too
+                trainer.evict_expired(now - spec.eviction.ttl_seconds)
 
     if proc0 and trainer.params is not None:
         with open(os.path.join(path, "dense.msgpack"), "wb") as f:

@@ -177,7 +177,7 @@ class StreamingTrainer:
                     if t.config.engine.tiered:
                         t.spill_expired(now - ttl)  # spill to host archive
                     else:
-                        t.engine.evict_expired(now - ttl)
+                        t.evict_expired(now - ttl)  # frees + zeroes rows
             if max_steps is not None and n >= max_steps:
                 break
         # final flush

@@ -496,6 +496,17 @@ class Trainer:
         self.step += 1
         return {"loss": loss, "preds": preds, "stats": stats, "aux": aux}
 
+    def evict_expired(self, expire_before: int) -> Dict[str, np.ndarray]:
+        """Evict expired ids from the host stores AND zero their device rows
+        (engine.zero_rows) so no stale params/slots survive the free — ref
+        hash tables clear entry memory on evict
+        (entry_accessor.cc Evict -> ClearEntry)."""
+        freed = self.engine.evict_expired(expire_before)
+        if self.table_states is not None:
+            self.table_states = self.engine.zero_rows(self.table_states,
+                                                      freed)
+        return freed
+
     def spill_expired(self, expire_before: int) -> Dict[str, int]:
         """Two-tier eviction: read expiring rows' full state from the device
         pools into the host archive, then free the HBM rows (engine must be

@@ -159,6 +159,32 @@ class TestTrainLoop:
         assert len(freed["user"]) == 3
         assert eng.stores["user"][0].size() == 0
 
+    def test_zero_rows_clears_evicted_state(self):
+        """zero_rows wipes freed device rows (params AND optimizer slots) so
+        no stale state can leak through a future non-init-select mapping;
+        untouched rows keep their values (ref evict clears entry memory)."""
+        eng = make_engine()
+        states = eng.create_states()
+        fids = np.array([[1, 2, 3, 4]], dtype=np.int64)
+        inputs, _ = eng.prepare_batch({"uid": fids}, ts=100)
+        states = eng.admit_rows(states, inputs, jax.random.PRNGKey(0))
+        rows = eng.stores["user"][0].lookup(np.array([1, 2], np.int64))
+        keep_rows = eng.stores["user"][0].lookup(np.array([3, 4], np.int64))
+        # make the rows visibly dirty
+        leaf = next(iter(jax.tree.leaves(states["user"])))
+        before_keep = np.asarray(leaf[0, keep_rows])
+        freed = {"user": np.asarray(rows, np.int64)}
+        states2 = eng.zero_rows(states, freed)
+        for x in jax.tree.leaves(states2["user"]):
+            arr = np.asarray(x)
+            assert np.all(arr[0, rows] == 0)
+        leaf2 = next(iter(jax.tree.leaves(states2["user"])))
+        np.testing.assert_array_equal(np.asarray(leaf2[0, keep_rows]),
+                                      before_keep)
+        # empty + zero-length freed lists are no-ops
+        states3 = eng.zero_rows(states2, {"user": np.empty(0, np.int64)})
+        assert states3["user"] is states2["user"]
+
 
 class TestMultiShardHost:
     def test_prepare_with_4_shards(self):

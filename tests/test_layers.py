@@ -230,3 +230,72 @@ class TestMisc:
 
         g = jax.grad(loss)(v)
         assert np.isfinite(jax.tree.reduce(lambda a, b: a + jnp.sum(b), g, 0.0))
+
+
+class TestInsightOps:
+    """feature_insight / fid_counter parity with ref layers/layer_ops_test.py
+    (test_feature_insight:117, test_feature_insight_grad:158,
+    test_fid_counter_grad:200)."""
+
+    SEG = [3, 2, 4]
+    INP = jnp.array(
+        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.1, 1.2, 1.3, 1.4,
+         1.5, 1.6, 1.7, 1.8, 1.9, 2.1, 2.2, 2.3, 2.4, 2.5, 2.6, 2.7, 2.8,
+         2.9], dtype=jnp.float32).reshape(3, 9)
+    W = jnp.array(
+        [0.1, 0.2, 0.3, 0.4, 0.5, 0.4, 0.3, 0.2, 0.1, 0.9, 0.8, 0.7, 0.6,
+         0.5, 0.6, 0.7, 0.8, 0.9], dtype=jnp.float32).reshape(9, 2)
+
+    def _expected(self):
+        outs, s = [], 0
+        for sz in self.SEG:
+            outs.append(np.asarray(self.INP)[:, s:s + sz]
+                        @ np.asarray(self.W)[s:s + sz])
+            s += sz
+        return np.concatenate(outs, axis=1)
+
+    def test_feature_insight(self):
+        from monolith_tpu.ops import feature_insight
+        exp = self._expected()
+        out = feature_insight(self.INP, self.W, self.SEG)
+        np.testing.assert_allclose(np.asarray(out), exp, rtol=1e-5)
+        # aggregate=True: per-feature sum of squared projections [B, F]
+        agg = feature_insight(self.INP, self.W, self.SEG, aggregate=True)
+        exp_agg = (exp * exp).reshape(3, 3, 2).sum(axis=2)
+        np.testing.assert_allclose(np.asarray(agg), exp_agg, rtol=1e-5)
+
+    def test_feature_insight_grad(self):
+        from monolith_tpu.ops import feature_insight
+
+        def loss(inp, w):
+            return jnp.sum(feature_insight(inp, w, self.SEG))
+
+        gi, gw = jax.grad(loss, argnums=(0, 1))(self.INP, self.W)
+        # reference grad == plain per-segment matmul grad: compare against
+        # autodiff of the explicit split/matmul/concat expression
+        def loss_explicit(inp, w):
+            outs, s = [], 0
+            for sz in self.SEG:
+                outs.append(inp[:, s:s + sz] @ w[s:s + sz])
+                s += sz
+            return jnp.sum(jnp.concatenate(outs, axis=1))
+
+        gi2, gw2 = jax.grad(loss_explicit, argnums=(0, 1))(self.INP, self.W)
+        np.testing.assert_allclose(np.asarray(gi), np.asarray(gi2), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(gw), np.asarray(gw2), rtol=1e-5)
+
+    def test_fid_counter_grad(self):
+        from monolith_tpu.ops import fid_counter
+        # ref test_fid_counter_grad: value bumps by step, grad is -step,
+        # both saturate at the threshold
+        for start, step, want_val, want_grad in [
+                (1.0, 1.0, 2.0, -1.0),
+                (1.0, 0.01, 1.01, -0.01),
+                (1000.0, 1.0, 1000.0, 0.0)]:
+            alpha = jnp.array([start], dtype=jnp.float32)
+            val, grad = jax.value_and_grad(
+                lambda a: jnp.sum(fid_counter(a, counter_threshold=1000,
+                                              step=step)))(alpha)
+            np.testing.assert_allclose(float(val), want_val, rtol=1e-6)
+            np.testing.assert_allclose(np.asarray(grad), [want_grad],
+                                       rtol=1e-6)
