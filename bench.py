@@ -175,9 +175,17 @@ def bench_multislot():
     # (slot-encoded fids are disjoint) -> one gather + one scatter + one
     # wire segment per step regardless of table count; ~39k merged uniques
     # per step measured on this stream (fits the uint16 wire).
+    #
+    # MT_BENCH_DTYPE=bf16: bf16 pools + stochastic rounding — halves pool
+    # bytes (the 2.3 GB merged f32 pool drops to 1.15 GB, under the Pallas
+    # DMA memory cliff, PERF.md) and halves gather/scatter HBM traffic.
+    bf16 = os.environ.get("MT_BENCH_DTYPE", "f32") == "bf16"
+    import jax.numpy as jnp
     task = MultiSlotTask(num_tables=16, num_slots=40, embedding_dim=16,
                          capacity_per_shard=1 << 18, history_length=20,
-                         hidden=(256, 128, 64), merge=True)
+                         hidden=(256, 128, 64), merge=True,
+                         table_dtype=jnp.bfloat16 if bf16 else jnp.float32,
+                         stochastic_rounding=bf16)
     trainer = Trainer(task, TrainerConfig(
         engine=EngineConfig(num_shards=1, unique_cap=49152, new_cap=49152),
         log_every=0, metrics_enabled=_metrics_on()))
@@ -193,7 +201,9 @@ def bench_multislot():
     eps, breakdown = _bench_protocol(trainer, batches, batch_size, K=8,
                                      steps_per_run=96, n_runs=6,
                                      prod_save_dir=_prod_dir())
-    return "multislot_train_examples_per_sec", batch_size, eps, breakdown
+    metric = ("multislot_bf16_train_examples_per_sec" if bf16
+              else "multislot_train_examples_per_sec")
+    return metric, batch_size, eps, breakdown
 
 
 def bench_auc():
