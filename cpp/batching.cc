@@ -21,6 +21,7 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <mutex>
 #include <vector>
@@ -155,6 +156,120 @@ class Batcher {
 
   int64_t overflow() const { return overflow_; }
 
+  // --- two-level dedup (stream-local scratch + global merge) ------------
+  //
+  // AddStream probes the GLOBAL scratch once per position; at dozens of
+  // slots that is ~500k random probes into a multi-MB table — cache-miss
+  // bound (~35 ns each, the dominant host cost of the merged-table wire
+  // prepare, PERF.md). A single stream has few uniques (a scalar slot is
+  // one fid per example), so dedup it against a tiny stream-LOCAL scratch
+  // (L1/L2-resident probes), then touch the global table only once per
+  // LOCAL UNIQUE and rewrite the just-written int16 indices through a
+  // local->global remap (sequential pass). Order and semantics match
+  // AddStream exactly: local idx order is first-occurrence order, merge
+  // happens immediately after the stream, so global first-occurrence
+  // order — and with it unique_cap overflow behavior — is unchanged.
+  //
+  // Requires n <= 32767 so local indices fit the int16 wire field.
+  void LocalAddStream(const int64_t* values, int64_t n, int16_t* out_index) {
+    ++lepoch_;
+    if (lepoch_ == 0) {
+      for (Slot& s : lslots_) s.stamp = 0;
+      lepoch_ = 1;
+    }
+    lunique_.clear();
+    locc_.clear();
+    uint64_t mask = lsize_ - 1;
+    constexpr int64_t kPrefetch = 8;
+    for (int64_t i = 0; i < n; ++i) {
+      if (i + kPrefetch < n) {
+        int64_t pf = values[i + kPrefetch];
+        if (pf != kPadFid)
+          __builtin_prefetch(&lslots_[mix64((uint64_t)pf) & mask], 0, 1);
+      }
+      int64_t fid = values[i];
+      if (fid == kPadFid) { out_index[i] = (int16_t)-1; continue; }
+      uint64_t h = mix64((uint64_t)fid);
+      uint64_t pos = h & mask;
+      for (;;) {
+        Slot& s = lslots_[pos];
+        if (s.stamp != lepoch_) {
+          if ((int64_t)(lunique_.size() + 1) * 2 > (int64_t)lsize_) {
+            RehashLocal(lsize_ * 2);
+            mask = lsize_ - 1;
+            pos = h & mask;
+            continue;
+          }
+          s.stamp = lepoch_;
+          s.key = fid;
+          s.val = (int32_t)lunique_.size();
+          lunique_.push_back(fid);
+          locc_.push_back(1);
+          out_index[i] = (int16_t)s.val;
+          break;
+        }
+        if (s.key == fid) {
+          out_index[i] = (int16_t)s.val;
+          ++locc_[s.val];
+          break;
+        }
+        pos = (pos + 1) & mask;
+      }
+    }
+    // merge local uniques into the global table (one probe per UNIQUE),
+    // carrying batch occurrence counts; remap[l] = global idx or -1
+    int64_t nu = (int64_t)lunique_.size();
+    lremap_.resize(nu);
+    mask = scratch_size_ - 1;
+    for (int64_t l = 0; l < nu; ++l) {
+      if (l + kPrefetch < nu)
+        __builtin_prefetch(
+            &slots_[mix64((uint64_t)lunique_[l + kPrefetch]) & mask], 0, 1);
+      int64_t fid = lunique_[l];
+      uint64_t h = mix64((uint64_t)fid);
+      uint64_t pos = h & mask;
+      for (;;) {
+        Slot& s = slots_[pos];
+        if (s.stamp != epoch_) {
+          if ((live_ + 1) * 2 > (int64_t)scratch_size_) {
+            Rehash(scratch_size_ * 2);
+            mask = scratch_size_ - 1;
+            pos = h & mask;
+            continue;
+          }
+          s.stamp = epoch_;
+          s.key = fid;
+          ++live_;
+          int32_t shard = (int32_t)(h % (uint64_t)num_shards_);
+          int32_t c = out_counts_[shard];
+          if (c >= shard_cap_) {
+            s.val = -1;
+            ++overflow_;
+          } else {
+            int32_t idx = shard * (int32_t)shard_cap_ + c;
+            out_unique_[idx] = fid;
+            out_counts_[shard] = c + 1;
+            s.val = idx;
+          }
+          break;
+        }
+        if (s.key == fid) break;
+        pos = (pos + 1) & mask;
+      }
+      int32_t g = slots_[pos].val;
+      lremap_[l] = g;
+      if (occurrence_ && g >= 0) occurrence_[g] += locc_[l];
+    }
+    // rewrite int16 indices local -> global (sequential; remap is L1-hot)
+    const int32_t* remap = lremap_.data();
+    for (int64_t i = 0; i < n; ++i) {
+      int16_t v = out_index[i];
+      if (v < 0) continue;  // pad
+      int32_t g = remap[v];
+      out_index[i] = (int16_t)(g < 0 ? -1 : g);  // wire decodes unsigned
+    }
+  }
+
   // One-shot variant (original API, int32 indices).
   int64_t Dedup(const int64_t* values, int64_t n, int32_t num_shards,
                 int64_t shard_cap, int64_t* out_unique, int32_t* out_index,
@@ -208,6 +323,20 @@ class Batcher {
     }
   }
 
+  void RehashLocal(uint64_t new_size) {
+    std::vector<Slot> old;
+    old.swap(lslots_);
+    lsize_ = new_size;
+    lslots_.assign(lsize_, Slot{kPadFid, -1, 0});
+    const uint64_t mask = lsize_ - 1;
+    for (const Slot& s : old) {
+      if (s.stamp != lepoch_) continue;
+      uint64_t pos = mix64((uint64_t)s.key) & mask;
+      while (lslots_[pos].stamp == lepoch_) pos = (pos + 1) & mask;
+      lslots_[pos] = s;
+    }
+  }
+
   uint64_t scratch_size_;
   uint32_t epoch_;
   int32_t num_shards_ = 1;
@@ -220,6 +349,14 @@ class Batcher {
   std::vector<Slot> slots_;
   std::vector<int64_t> unique_scratch_;
   std::vector<int32_t> occurrence_scratch_;
+  // stream-local dedup scratch (LocalAddStream); starts tiny, grows to the
+  // largest per-stream unique count seen and stays L1/L2-resident
+  uint64_t lsize_ = 1024;
+  uint32_t lepoch_ = 0;
+  std::vector<Slot> lslots_ = std::vector<Slot>(1024, Slot{kPadFid, -1, 0});
+  std::vector<int64_t> lunique_;
+  std::vector<int32_t> locc_;
+  std::vector<int32_t> lremap_;
 };
 
 // Single-table prepare body, shared by the one-call and multi-table C
@@ -238,10 +375,23 @@ int64_t PrepareWireOne(Batcher* b, void* store, const int64_t* const* streams,
   b->Begin(n_total, /*num_shards=*/1, unique_cap, unique.data(), &count,
            occ.data());
 
+  // MT_TWO_LEVEL=0 disables the stream-local dedup (A/B instrumentation)
+  static const bool two_level = [] {
+    const char* e = getenv("MT_TWO_LEVEL");
+    return !e || e[0] != '0';
+  }();
   int64_t off = unique_cap;  // wire word offset past the rows block
   for (int32_t i = 0; i < n_streams; ++i) {
     int16_t* idx16 = reinterpret_cast<int16_t*>(wire + off);
-    b->AddStream<int16_t>(streams[i], sizes[i], idx16);
+    if (two_level && sizes[i] <= 32767) {
+      // two-level: local L1-resident dedup + one global probe per UNIQUE
+      // (vs per position) — the dominant host cost at dozens of slots
+      b->LocalAddStream(streams[i], sizes[i], idx16);
+    } else {
+      // long streams (sequence features) can exceed int16 local indices;
+      // their unique set is global-sized anyway, so probe globally
+      b->AddStream<int16_t>(streams[i], sizes[i], idx16);
+    }
     if (sizes[i] & 1) idx16[sizes[i]] = -1;  // pad odd tail
     off += (sizes[i] + 1) / 2;
   }
