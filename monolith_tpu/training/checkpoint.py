@@ -38,6 +38,34 @@ def _tables_dir(path):
     return os.path.join(path, "tables")
 
 
+def _save_archives(trainer, path):
+    """Persist tiered-storage host archives (spilled full-row state) so a
+    restart does not lose cold rows — the reference's host-RAM tables are
+    part of its checkpoint (hash_table dump covers every stored entry).
+    Each process writes only its local (materialized) shards."""
+    archives = getattr(trainer.engine, "archives", None)
+    if not archives:
+        return
+    adir = os.path.join(path, "archives")
+    os.makedirs(adir, exist_ok=True)
+    for tname, shards in archives.items():
+        for s, arch in enumerate(shards):
+            if arch is not None and arch.size() > 0:
+                arch.save(os.path.join(adir, f"{tname}-s{s}.npz"))
+
+
+def _restore_archives(trainer, path):
+    archives = getattr(trainer.engine, "archives", None)
+    adir = os.path.join(path, "archives")
+    if not archives or not os.path.isdir(adir):
+        return
+    for tname, shards in archives.items():
+        for s, arch in enumerate(shards):
+            p = os.path.join(adir, f"{tname}-s{s}.npz")
+            if arch is not None and os.path.exists(p):
+                arch.restore(p)
+
+
 def save(trainer, directory: str, evict_before_save: bool = False,
          dense_only: bool = False) -> str:
     """Save trainer state; returns the checkpoint path. Multi-process
@@ -93,6 +121,8 @@ def save(trainer, directory: str, evict_before_save: bool = False,
                     with open(os.path.join(path, "filters", f"{tname}-s{s}.bin"),
                               "wb") as f:
                         f.write(blob)
+
+    _save_archives(trainer, path)
 
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta, f)
@@ -235,6 +265,7 @@ def restore(trainer, directory: str, step: Optional[int] = None) -> int:
                 packed="data" in state)
             trainer.table_states[tname] = _place_like_trainer(trainer, new_state)
 
+    _restore_archives(trainer, path)
     trainer.step = meta["step"]
     return meta["step"]
 
@@ -393,6 +424,8 @@ def save_distributed(trainer, directory: str,
                                        f"{tname}-s{s}.bin"), "wb") as f:
                     f.write(blob)
 
+    _save_archives(trainer, path)  # each process: its local shards only
+
     multihost_utils.sync_global_devices(f"mt_ckpt_save_{step}")
     if proc0:
         with open(os.path.join(path, "meta.json"), "w") as f:
@@ -531,6 +564,7 @@ def restore_distributed(trainer, directory: str,
         new_leaves = [make_leaf(i, leaf0) for i, leaf0 in enumerate(leaves0)]
         trainer.table_states[tname] = jax.tree.unflatten(treedef, new_leaves)
 
+    _restore_archives(trainer, path)
     trainer.step = meta["step"]
     return meta["step"]
 

@@ -209,3 +209,55 @@ class TestTieredTraining:
         # all ids eventually live in the archive, none lost
         total = sum(a.size() for a in tr.engine.archives["sparse"])
         assert total == 6 * 16  # 8 users + 8 items per wave
+
+
+class TestArchiveCheckpoint:
+    def test_archives_survive_checkpoint_roundtrip(self, tmp_path):
+        """Spilled rows are part of the checkpoint: a restart must revive
+        cold ids with their exact pre-spill state (the reference's host
+        tables dump every stored entry; losing the archive on restart
+        would silently reset every cold id)."""
+        from monolith_tpu.training import checkpoint
+
+        tr = make_trainer()
+        fids = np.arange(1, 5, dtype=np.int64)[:, None]
+        fb = {"user_id": fids, "item_id": fids + 100,
+              "hist_items": np.full((4, 10), -1, np.int64)}
+        b = {"label": np.ones(4, np.float32)}
+        for _ in range(3):
+            tr.train_step(fb, b, ts=100)
+        store = tr.engine.stores["sparse"][0]
+        spec = tr.engine.tables["sparse"]
+        rows = store.lookup(fids.ravel())
+        state = jax.device_get(tr.table_states["sparse"])
+        packed_before = pack_rows(spec, jax.tree.map(lambda x: x[0], state),
+                                  rows)
+        tr.spill_expired(expire_before=200)
+        assert tr.engine.archives["sparse"][0].size() == 8
+
+        checkpoint.save(tr, str(tmp_path))
+
+        tr2 = make_trainer()
+        tr2.train_step(fb, b, ts=0)  # init dense params before restore
+        checkpoint.restore(tr2, str(tmp_path))
+        arch = tr2.engine.archives["sparse"][0]
+        assert arch.size() == 8
+        ok, vals = arch.revive(fids.ravel())
+        assert ok.all()
+        np.testing.assert_allclose(vals, packed_before, rtol=1e-6)
+
+    def test_non_tiered_checkpoint_unaffected(self, tmp_path):
+        from monolith_tpu.training import checkpoint
+
+        tr = make_trainer(tiered=False)
+        fids = np.arange(1, 5, dtype=np.int64)[:, None]
+        fb = {"user_id": fids, "item_id": fids + 100,
+              "hist_items": np.full((4, 10), -1, np.int64)}
+        b = {"label": np.ones(4, np.float32)}
+        tr.train_step(fb, b, ts=100)
+        p = checkpoint.save(tr, str(tmp_path))
+        import os
+        assert not os.path.isdir(os.path.join(p, "archives"))
+        tr2 = make_trainer(tiered=False)
+        tr2.train_step(fb, b, ts=0)
+        assert checkpoint.restore(tr2, str(tmp_path)) == tr.step
