@@ -77,7 +77,14 @@ def measure(trainer, data, K=8, steps=64):
         out = trainer.train_step_block(batches)
     jax.block_until_ready(out["loss"])
     e2e_ms = (time.perf_counter() - t0) / steps * 1e3
-    return host_ms, dev_ms, e2e_ms
+
+    # H2D transfer cost of the wires alone (the only per-step transfer)
+    t0 = time.perf_counter()
+    for _ in range(steps // K):
+        w = jax.device_put(wires)
+    jax.block_until_ready(w)
+    h2d_ms = (time.perf_counter() - t0) / steps * 1e3
+    return host_ms, dev_ms, e2e_ms, h2d_ms
 
 
 def main():
@@ -95,7 +102,7 @@ def main():
             r = measure(trainer, data)
             results[v].append(r)
             print(f"round{rnd} {v}: host={r[0]:.2f} dev={r[1]:.2f} "
-                  f"e2e={r[2]:.2f} ms/step "
+                  f"e2e={r[2]:.2f} h2d={r[3]:.2f} ms/step "
                   f"({8192 / r[2] * 1e3 / 1e3:.0f}k ex/s)", flush=True)
             del trainer
     print("---- medians over rounds ----")
