@@ -54,8 +54,23 @@ def main():
     from monolith_tpu.training.trainer import TrainerConfig
 
     S = nproc * local_devices
-    task = DeepFMTask(embedding_dim=8, capacity_per_shard=4096,
-                      hidden=(16, 8), init_scale=0.0)
+    if mode == "multislot":
+        # multi-TABLE smoke (3 physical tables, merge=False): exercises the
+        # fused all-tables exchange (one id a2a + one callback + one
+        # embedding a2a per step regardless of table count) at T > 1 —
+        # every other multihost test uses the single-table DeepFM
+        from monolith_tpu.data.synthetic import SyntheticMultiSlot
+        from monolith_tpu.models.multislot import MultiSlotTask
+        task = MultiSlotTask(num_tables=2, num_slots=4, embedding_dim=8,
+                             capacity_per_shard=1024, history_length=6,
+                             hidden=(16,), merge=False)
+        data = SyntheticMultiSlot(num_slots=4, vocab_per_slot=60,
+                                  history_length=6, batch_size=64, seed=1000)
+    else:
+        task = DeepFMTask(embedding_dim=8, capacity_per_shard=4096,
+                          hidden=(16, 8), init_scale=0.0)
+        data = SyntheticCTR(num_users=100, num_items=60, batch_size=64,
+                            seed=1000)
     cfg = TrainerConfig(engine=EngineConfig(num_shards=S, unique_cap=512,
                                             new_cap=512, bucket_cap=128,
                                             record_touch=(mode == "streaming"),
@@ -67,7 +82,6 @@ def main():
 
     # ONE logical stream sharded across processes: all processes share the
     # generator (same ground truth); each consumes its own interleaved slice
-    data = SyntheticCTR(num_users=100, num_items=60, batch_size=64, seed=1000)
     it = iter(data)
 
     def next_local():
@@ -247,6 +261,21 @@ def main():
               f"rounds={res['sync_rounds']} matched={matched} "
               f"checked={checked} local_size={local_size} "
               f"replica_size={replica_size}", flush=True)
+    elif mode == "multislot":
+        for i in range(steps):
+            fb, b = next_local()
+            out = trainer.train_step(fb, b, ts=i)
+            losses.append(float(np.asarray(out["loss"])))
+        pairs = [next_local() for _ in range(2)]  # block path, T=3 tables
+        out = trainer.train_step_block(pairs, ts=steps)
+        losses.extend(np.asarray(out["loss"]).tolist())
+        assert all(np.isfinite(losses)), losses
+        sizes = {t: sum(trainer.engine.stores[t][s].size()
+                        for s in trainer.local_device_ids)
+                 for t in sorted(trainer.engine.tables)}
+        assert all(v > 0 for v in sizes.values()), sizes
+        print(f"RESULT {pid} first={np.mean(losses[:3]):.5f} "
+              f"last={np.mean(losses[-3:]):.5f} sizes={sizes}", flush=True)
     else:
         raise ValueError(mode)
 
