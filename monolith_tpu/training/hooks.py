@@ -44,6 +44,33 @@ class ThroughputHook:
             self._examples = 0
 
 
+class ExchangeMetricsHook:
+    """Per-table embedding-exchange size metrics (ref
+    --enable_alltoall_metrics alltoall-size histograms,
+    distributed_ps_sync.py:59,107-121,416-469): emits each table's unique
+    ids per step (== rows moved through the gather/a2a), new admissions,
+    admission-filter drops, and bucket/unique-cap overflows from the host
+    prepare stats — no device readback involved."""
+
+    def __init__(self, every: int = 100,
+                 client: Optional[MetricClient] = None):
+        self.every = every
+        self.client = client or get_metric_client()
+
+    def __call__(self, trainer, out):
+        if trainer.step % self.every != 0:
+            return
+        stats = out.get("stats")
+        if isinstance(stats, list):  # block dispatch: last step's stats
+            stats = stats[-1] if stats else None
+        if not stats:
+            return
+        for key in ("unique", "new", "filtered", "new_rejected", "overflow"):
+            for tname, v in stats.get(key, {}).items():
+                self.client.emit_store(f"exchange.{key}",
+                                       float(v), tags={"table": tname})
+
+
 class ProfilerHook:
     """jax.profiler trace over a step window (ref Tf2ProfilerHook:143 —
     profile_some_steps_from)."""

@@ -17,7 +17,8 @@ from monolith_tpu.model_dump import dump_model
 from monolith_tpu.models.deepfm import DeepFMTask
 from monolith_tpu.optimizers import adamom, adamom_v2, rmsprop_v2, shampoo
 from monolith_tpu.training.controller import ControllerClient, TrainingController
-from monolith_tpu.training.hooks import MachineInfoHook, ThroughputHook, machine_info
+from monolith_tpu.training.hooks import (ExchangeMetricsHook, MachineInfoHook,
+                                         ThroughputHook, machine_info)
 from monolith_tpu.training.trainer import Trainer, TrainerConfig
 from monolith_tpu.utils.deep_insight import DeepInsightClient
 from monolith_tpu.utils.metrics_client import MetricClient
@@ -68,8 +69,12 @@ class TestHooksAndController:
         m = MetricClient()
         tr.train(iter(data), steps=6,
                  hooks=[ThroughputHook(every=2, client=m),
-                        MachineInfoHook(every=2, client=m)])
-        assert any("throughput" in k for k in m.snapshot()["stores"])
+                        MachineInfoHook(every=2, client=m),
+                        ExchangeMetricsHook(every=2, client=m)])
+        stores = m.snapshot()["stores"]
+        assert any("throughput" in k for k in stores)
+        # exchange-size metrics (ref --enable_alltoall_metrics histograms)
+        assert any(k.startswith("exchange.unique") for k in stores), stores
 
     def test_machine_info(self):
         info = machine_info()
