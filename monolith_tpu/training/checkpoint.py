@@ -55,6 +55,12 @@ def _save_archives(trainer, path):
 
 
 def _restore_archives(trainer, path):
+    """Archive files are keyed by global shard id; restoring at a DIFFERENT
+    total shard count leaves fids in archives their new owner shard never
+    queries — those cold rows degrade to plain evictions (re-initialized on
+    next sight), which is safe but lossy. Reshard with matching shard
+    counts (or accept the cold-row reset) — the hot rows ride the table
+    reshard path regardless."""
     archives = getattr(trainer.engine, "archives", None)
     adir = os.path.join(path, "archives")
     if not archives or not os.path.isdir(adir):

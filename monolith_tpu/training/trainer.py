@@ -515,9 +515,11 @@ class Trainer:
             raise ValueError("spill_expired requires EngineConfig(tiered=True)")
         from monolith_tpu.embedding.tiered import pack_rows
         out = {}
+        freed = {}
         for tname, spec in self.engine.tables.items():
             state = jax.device_get(self.table_states[tname])
             n = 0
+            freed_rows = []
             for s, store in enumerate(self.engine.stores[tname]):
                 rows, fids = store.evict_expired(expire_before, return_fids=True)
                 if len(rows) == 0:
@@ -526,7 +528,13 @@ class Trainer:
                 values = pack_rows(spec, shard_state, rows)
                 n += self.engine.archives[tname][s].spill(fids, values,
                                                           ts=expire_before)
+                freed_rows.append(rows.astype(np.int64)
+                                  + s * spec.capacity_per_shard)
             out[tname] = n
+            freed[tname] = (np.concatenate(freed_rows) if freed_rows
+                            else np.empty(0, np.int64))
+        # zero the spilled HBM rows (same stale-state hazard as evict)
+        self.table_states = self.engine.zero_rows(self.table_states, freed)
         return out
 
     def _drain_metrics(self):
