@@ -233,3 +233,28 @@ class FeatureFactory:
                                   combiner=fc.combiner)
                     for fc in self.columns.values()]
         return tables, features
+
+
+class layer_ops:
+    """Namespace shim mirroring `monolith.native_training.layers.layer_ops`
+    (ref layer_ops.py): reference model code using `layer_ops.ffm`,
+    `layer_ops.feature_insight`, or `layer_ops.fid_counter` ports with only
+    the import changed. Each member is the framework's jnp/TPU
+    implementation (ops/interactions.py, ops/insight.py)."""
+
+    @staticmethod
+    def ffm(left, right, dim_size, int_type: str = "multiply"):
+        from monolith_tpu.ops.interactions import ffm_interaction
+        return ffm_interaction(left, right, dim_size, int_type)
+
+    @staticmethod
+    def feature_insight(input_embedding, weight, segment_sizes,
+                        aggregate: bool = False):
+        from monolith_tpu.ops.insight import feature_insight
+        return feature_insight(input_embedding, weight, segment_sizes,
+                               aggregate)
+
+    @staticmethod
+    def fid_counter(counter, counter_threshold, step=1.0):
+        from monolith_tpu.ops.insight import fid_counter
+        return fid_counter(counter, counter_threshold, step)
