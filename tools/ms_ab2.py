@@ -33,7 +33,8 @@ def build(dtype: str, pallas: bool):
                          capacity_per_shard=1 << 18, history_length=20,
                          hidden=(256, 128, 64), merge=True,
                          table_dtype=jnp.bfloat16 if bf16 else jnp.float32,
-                         stochastic_rounding=bf16)
+                         stochastic_rounding=bf16,
+                         dense_dtype=jnp.bfloat16 if bf16 else None)
     trainer = Trainer(task, TrainerConfig(
         engine=EngineConfig(num_shards=1, unique_cap=49152, new_cap=49152),
         log_every=0, metrics_enabled=False))
