@@ -607,3 +607,44 @@ class TestPerTableCaps:
                 [FeatureConfig(name="f", table="t", max_length=1,
                                combiner="sum")],
                 EngineConfig(num_shards=2, unique_caps=(("t", 64),)))
+
+
+class TestTwoLevelDedupParity:
+    """The stream-local dedup (cpp LocalAddStream) must be bit-identical to
+    the single-level path in every regime: shared fids ACROSS streams,
+    unique_cap overflow mid-merge, occurrence-count admission."""
+
+    def test_overflow_and_shared_fids_equal_bytes(self):
+        from monolith_tpu.embedding.spec import TableSegment, TableSpec
+        from monolith_tpu.embedding import initializers, optimizers
+        tables = [TableSpec(name="t", capacity_per_shard=256,
+                            segments=(TableSegment(
+                                dim=4,
+                                optimizer=optimizers.SGD(learning_rate=0.5),
+                                initializer=initializers.Constants(1.0)),))]
+        features = [FeatureConfig(name="a", table="t", max_length=2),
+                    FeatureConfig(name="b", table="t", max_length=3)]
+
+        def build():
+            return EmbeddingEngine(
+                tables, features,
+                EngineConfig(num_shards=1, unique_cap=16, new_cap=16),
+                seed=5)
+
+        e1, e2 = build(), build()
+        rng1, rng2 = np.random.default_rng(3), np.random.default_rng(3)
+
+        def batch(rng):
+            # 24 possible fids vs unique_cap 16 -> overflow; ranges overlap
+            # so the same fid appears in BOTH streams (cross-stream dedup)
+            return {"a": rng.integers(-1, 24, size=(16, 2)).astype(np.int64),
+                    "b": rng.integers(-1, 24, size=(16, 3)).astype(np.int64)}
+
+        for step in range(6):
+            inputs, s1 = e1.prepare_batch(batch(rng1), ts=step)
+            ref = e1.pack_wire(inputs)
+            wire, s2 = e2.prepare_wire(batch(rng2), ts=step)
+            np.testing.assert_array_equal(wire, ref)
+            assert s1["overflow"] == s2["overflow"]
+            assert s1["unique"] == s2["unique"]
+            assert s2["overflow"]["t"] > 0, "test must exercise overflow"
