@@ -180,6 +180,11 @@ def bench_multislot():
     # bytes (the 2.3 GB merged f32 pool drops to 1.15 GB, under the Pallas
     # DMA memory cliff, PERF.md) and halves gather/scatter HBM traffic.
     bf16 = os.environ.get("MT_BENCH_DTYPE", "f32") == "bf16"
+    if not bf16:
+        # the 2.28 GB merged f32 pool sits above the Pallas DMA memory
+        # cliff (PERF.md) — keep the capacity-independent XLA scatter
+        # unless explicitly overridden; bf16 (1.14 GB) keeps the kernels
+        os.environ.setdefault("MT_PALLAS_SCATTER", "0")
     import jax.numpy as jnp
     task = MultiSlotTask(num_tables=16, num_slots=40, embedding_dim=16,
                          capacity_per_shard=1 << 18, history_length=20,
