@@ -465,3 +465,42 @@ class TestCompatAPI:
         assert losses[-1] < losses[0]
         # shared slot: hist ids landed in the item table
         assert tr.engine.stores["item_id"][0].size() > 30
+
+
+class TestCapTuning:
+    def test_suggest_caps_covers_measured_uniques(self):
+        from monolith_tpu.utils.tuning import (measure_unique_counts,
+                                               suggest_caps)
+        rng = np.random.default_rng(0)
+        batches = [{"a": rng.integers(-1, 500, size=(64, 3)).astype(np.int64),
+                    "b": rng.integers(0, 200, size=(64, 1)).astype(np.int64)}
+                   for _ in range(4)]
+        tf = {"t1": ["a"], "t2": ["b"]}
+        m = measure_unique_counts(batches, tf)
+        assert 0 < m["t2"] <= 64
+        caps = suggest_caps(batches, tf, headroom=1.25)
+        for t in tf:
+            assert caps[t] >= m[t]
+            assert caps[t] % 128 == 0
+        # the caps must actually hold every sampled batch without overflow
+        from monolith_tpu.embedding.engine import EmbeddingEngine, EngineConfig
+        from monolith_tpu.embedding.spec import TableSegment, TableSpec
+        from monolith_tpu.feature import FeatureConfig
+        tables = [TableSpec(name=t, capacity_per_shard=4096,
+                            segments=(TableSegment(dim=4),)) for t in tf]
+        feats = [FeatureConfig(name="a", table="t1", max_length=3),
+                 FeatureConfig(name="b", table="t2", max_length=1)]
+        eng = EmbeddingEngine(tables, feats, EngineConfig(
+            num_shards=1, unique_cap=128,
+            unique_caps=tuple(caps.items()), new_cap=4096))
+        for fb in batches:
+            _, stats = eng.prepare_batch(fb, ts=1)
+            assert all(v == 0 for v in stats["overflow"].values())
+
+    def test_suggest_caps_flags_compact_wire_overflow(self):
+        from monolith_tpu.utils.tuning import suggest_caps
+        big = {"a": np.arange(70000, dtype=np.int64).reshape(-1, 1)}
+        with pytest.raises(ValueError):
+            suggest_caps([big], {"t": ["a"]})
+        caps = suggest_caps([big], {"t": ["a"]}, compact_wire_limit=None)
+        assert caps["t"] >= 70000
