@@ -23,7 +23,7 @@ from typing import Callable, Dict, Iterable, Iterator, List, Optional, Sequence
 import numpy as np
 
 from monolith_tpu.data.example import Example, batch_examples
-from monolith_tpu.data.framing import read_example_file
+from monolith_tpu.data.framing import read_example_records
 
 
 class FileSource:
@@ -31,8 +31,12 @@ class FileSource:
 
     Tracks its position so a worker's dataset-iterator state can be
     checkpointed and resumed (ref hooks/ckpt_hooks.py WorkerCkptHelper):
-    `state()` returns {"epoch", "file_idx", "record_idx"}; `set_state()`
-    makes the next iteration resume from that position."""
+    `state()` returns {"epoch", "file_idx", "record_idx", "example_idx"}
+    — record_idx counts framed RECORDS, example_idx the examples consumed
+    within the current record (nonzero only for multi-example payloads
+    like pb_example_batch). Resume frame-skips whole records without
+    decoding their payloads. Legacy states without "example_idx" (where
+    record_idx counted examples) still resume via decode-skip."""
 
     def __init__(self, patterns: Sequence[str], has_sort_id: bool = False,
                  repeat: bool = False, fmt: str = "mtex"):
@@ -48,7 +52,8 @@ class FileSource:
         self.has_sort_id = has_sort_id
         self.repeat = repeat
         self.fmt = fmt
-        self._pos = {"epoch": 0, "file_idx": 0, "record_idx": 0}
+        self._pos = {"epoch": 0, "file_idx": 0, "record_idx": 0,
+                     "example_idx": 0}
 
     def state(self) -> Dict[str, int]:
         return dict(self._pos)
@@ -59,27 +64,34 @@ class FileSource:
     def __iter__(self) -> Iterator[Example]:
         epoch = self._pos["epoch"]
         start_file = self._pos["file_idx"]
-        skip = self._pos["record_idx"]
+        legacy_skip = 0
+        if "example_idx" in self._pos:
+            skip_rec = self._pos["record_idx"]
+            skip_ex = self._pos["example_idx"]
+        else:  # legacy state: record_idx counted EXAMPLES; decode-skip
+            skip_rec = skip_ex = 0
+            legacy_skip = self._pos["record_idx"]
         while True:
             for fi in range(start_file, len(self.paths)):
                 self._pos.update(file_idx=fi, epoch=epoch)
-                rec = 0
-                for ex in read_example_file(self.paths[fi],
-                                            has_sort_id=self.has_sort_id,
-                                            fmt=self.fmt):
-                    if skip > 0:
-                        skip -= 1
-                        rec += 1
+                for ri, ei, ex in read_example_records(
+                        self.paths[fi], has_sort_id=self.has_sort_id,
+                        fmt=self.fmt, skip_records=skip_rec,
+                        skip_examples=skip_ex):
+                    if legacy_skip > 0:
+                        legacy_skip -= 1
                         continue
-                    # position = records consumed so far, so a state() taken
-                    # after receiving this record resumes at the next one
-                    self._pos["record_idx"] = rec + 1
-                    rec += 1
+                    # position = examples consumed so far, so a state()
+                    # taken after receiving this example resumes at the
+                    # next one (possibly mid-record)
+                    self._pos["record_idx"] = ri
+                    self._pos["example_idx"] = ei + 1
                     yield ex
-                skip = 0
+                skip_rec = skip_ex = legacy_skip = 0
             start_file = 0
             epoch += 1
-            self._pos.update(epoch=epoch, file_idx=0, record_idx=0)
+            self._pos.update(epoch=epoch, file_idx=0, record_idx=0,
+                             example_idx=0)
             if not self.repeat:
                 return
 

@@ -116,3 +116,26 @@ def read_example_file(path: str, has_sort_id: bool = False,
     with open(path, "rb") as f:
         for _, payload in RecordReader(f, has_sort_id=has_sort_id):
             yield from decode(payload)
+
+
+def read_example_records(path: str, has_sort_id: bool = False,
+                         fmt: str = "mtex", skip_records: int = 0,
+                         skip_examples: int = 0):
+    """Yield (record_idx, example_idx_in_record, Example) from a framed file.
+
+    Records before `skip_records` are frame-skipped — their payload bytes
+    are never DECODED (for pb_example_batch the protobuf parse dominates
+    read cost, so resume cost is O(bytes) sequential IO, not O(examples)
+    parse). Within the first yielded record, the first `skip_examples`
+    examples are dropped — resuming mid-batch after an ExampleBatch
+    checkpoint lands exactly on the next unseen example."""
+    decode = payload_decoder(fmt)
+    with open(path, "rb") as f:
+        for ri, (_, payload) in enumerate(
+                RecordReader(f, has_sort_id=has_sort_id)):
+            if ri < skip_records:
+                continue
+            exs = decode(payload)
+            start = skip_examples if ri == skip_records else 0
+            for ei in range(start, len(exs)):
+                yield ri, ei, exs[ei]

@@ -96,11 +96,14 @@ class EngineConfig:
     # one step stale — pair hot segments with the DC optimizer
     # (dc_optimizer.cc:30-44) to compensate. Packed tables + block path.
     # CAVEAT: an id ADMITTED at step i and re-read at step i+1 reads its
-    # row's pre-init content in the FORWARD only (zeros for fresh rows;
-    # prior content for rows recycled after eviction) — the optimize and
-    # write-back still use properly initialized state. Avoid async mode
-    # with aggressive eviction/recycling, or accept the one-step forward
-    # noise like the reference's async pipeline does.
+    # row's pre-init content in the FORWARD only — the optimize and
+    # write-back still use properly initialized state. On Trainer paths
+    # that's zeros (fresh rows are zero-allocated; evict_expired zeroes
+    # freed rows via engine.zero_rows before recycling); only under
+    # MultiHostTrainer (which cannot zero non-addressable global shards)
+    # can a recycled row briefly expose the evicted id's content. Accept
+    # the one-step forward noise like the reference's async pipeline does,
+    # or keep the synchronous default.
     async_optimize: bool = False
 
     def ucap(self, table: str) -> int:

@@ -126,6 +126,55 @@ class TestIteratorState:
         rest = [int(e.features["f"][0]) for e in src2]
         assert seen + rest == list(range(10))
 
+    def test_resume_legacy_state(self, tmp_path):
+        # pre-round-3 states counted examples in record_idx (no example_idx)
+        from monolith_tpu.data.example import Example
+        exs = [Example(features={"f": np.array([i], np.int64)}) for i in range(8)]
+        write_example_file(str(tmp_path / "a.rec"), exs)
+        src = FileSource([str(tmp_path / "a.rec")])
+        src.set_state({"epoch": 0, "file_idx": 0, "record_idx": 3})
+        rest = [int(e.features["f"][0]) for e in src]
+        assert rest == [3, 4, 5, 6, 7]
+
+    def test_resume_mid_example_batch(self, tmp_path):
+        # pb_example_batch records hold many examples; resume must land
+        # mid-record AND frame-skip earlier records without decoding them
+        from monolith_tpu.data import pb_compat
+        from monolith_tpu.data.example import Example
+        from monolith_tpu.data.framing import RecordWriter
+
+        def batch(lo, hi):
+            return pb_compat.encode_example_batch(
+                [Example(features={"f": np.array([i], np.int64)})
+                 for i in range(lo, hi)])
+
+        p = str(tmp_path / "eb.rec")
+        with open(p, "wb") as f:
+            w = RecordWriter(f)
+            w.write(batch(0, 4))
+            w.write(batch(4, 8))
+            w.write(batch(8, 12))
+        src = FileSource([p], fmt="pb_example_batch")
+        it = iter(src)
+        seen = [int(next(it).features["f"][0]) for _ in range(6)]  # mid record 1
+        state = src.state()
+        assert state["record_idx"] == 1 and state["example_idx"] == 2
+        decoded = []
+        orig = pb_compat.parse_example_batch
+
+        def spy(data):
+            out = orig(data)
+            decoded.append(len(out))
+            return out
+
+        src2 = FileSource([p], fmt="pb_example_batch")
+        src2.set_state(state)
+        import unittest.mock as mock
+        with mock.patch.object(pb_compat, "parse_example_batch", spy):
+            rest = [int(e.features["f"][0]) for e in src2]
+        assert seen + rest == list(range(12))
+        assert len(decoded) == 2  # records 1 and 2 only; record 0 frame-skipped
+
 
 class TestRecovery:
     def test_retries_then_succeeds(self):

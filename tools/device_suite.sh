@@ -1,0 +1,46 @@
+#!/bin/bash
+# Round-3 device measurement suite — run the moment the TPU tunnel is up.
+# One tunnel window harvests every open measurement (the tunnel has been
+# flaky for hours at a time, so everything is sequenced into one script
+# with per-step timeouts and all output persisted under /tmp/devsuite/).
+#
+#   bash tools/device_suite.sh            # full suite (~25 min)
+#   bash tools/device_suite.sh quick      # cliff repro + ms_ab2 only
+#
+# Order is priority order — if the tunnel dies mid-run, the most
+# decision-relevant numbers land first:
+#   1. cliff_repro5   — the >2GB Pallas DMA cliff minimal repro (VERDICT #2)
+#   2. ms_ab2         — {f32,bf16} x {pallas,xla} multislot A/B (VERDICT #1)
+#   3. bench multislot (f32 + bf16)  — driver-protocol numbers
+#   4. bench deepfm   — flagship + prod variant (metrics ON + mid-run ckpt,
+#                        VERDICT weak #3)
+set -u
+OUT=/tmp/devsuite
+mkdir -p "$OUT"
+cd "$(dirname "$0")/.."
+export JAX_COMPILATION_CACHE_DIR=/tmp/jax_bench_cache
+
+run() {  # run <name> <timeout_s> <cmd...>
+  local name=$1 to=$2; shift 2
+  echo "=== $name ($(date +%T)) ==="
+  timeout "$to" "$@" 2>&1 | tee "$OUT/$name.log" | tail -20
+  echo "--- $name exit=$? ---"
+}
+
+echo "probing TPU..."
+if ! timeout 180 python -c "import jax; assert jax.devices()[0].platform=='tpu'"; then
+  echo "TPU unreachable; aborting"; exit 1
+fi
+echo "TPU OK"
+
+run cliff_repro5 900 python tools/cliff_repro5.py
+run cliff_repro6 900 python tools/cliff_repro6.py
+run ms_ab2 1800 python tools/ms_ab2.py
+
+if [ "${1:-full}" = "quick" ]; then exit 0; fi
+
+run bench_multislot_f32 900 env MT_BENCH_CONFIG=multislot python bench.py
+run bench_multislot_bf16 900 env MT_BENCH_CONFIG=multislot MT_BENCH_DTYPE=bf16 python bench.py
+run bench_deepfm 900 env MT_BENCH_CONFIG=deepfm python bench.py
+run bench_deepfm_prod 1200 env MT_BENCH_CONFIG=deepfm MT_BENCH_PROD=1 python bench.py
+echo "=== suite done; logs in $OUT ==="
