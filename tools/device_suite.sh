@@ -33,6 +33,7 @@ if ! timeout 180 python -c "import jax; assert jax.devices()[0].platform=='tpu'"
 fi
 echo "TPU OK"
 
+run microbench 900 python tools/microbench.py
 run cliff_repro5 900 python tools/cliff_repro5.py
 run cliff_repro6 900 python tools/cliff_repro6.py
 run ms_ab2 1800 python tools/ms_ab2.py
