@@ -1,0 +1,90 @@
+"""Mesh scaling-efficiency harness — BASELINE.md target "examples/sec
+scaling 1 -> N hosts >= 80%" (ref probes PS bandwidth at job start,
+ps_benchmark.py:33-60; all-to-all sizes behind --enable_alltoall_metrics,
+distributed_ps_sync.py:59).
+
+Runs the SAME per-device workload (weak scaling: global batch = N x
+per-device batch, sharded tables) at mesh sizes 1/2/4/8 and reports
+examples/s and per-device efficiency vs the 1-device run. On real TPU
+slices the exchange rides ICI; on this image it runs on the virtual CPU
+mesh (XLA_FLAGS=--xla_force_host_platform_device_count=8), which measures
+the software path (shard_map program, a2a schedule, host fan-out) but NOT
+interconnect bandwidth — treat CPU numbers as an overhead ceiling check,
+not a hardware scaling claim.
+
+Usage: XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+           python tools/scaling_bench.py [--cpu] [per_dev_batch]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if "--cpu" in sys.argv:
+    sys.argv.remove("--cpu")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+else:
+    import jax
+
+import numpy as np
+
+from monolith_tpu.data.synthetic import SyntheticCTR
+from monolith_tpu.embedding.engine import EngineConfig
+from monolith_tpu.models.deepfm import DeepFMTask
+from monolith_tpu.parallel import ShardedTrainer, make_mesh
+from monolith_tpu.training.trainer import Trainer, TrainerConfig
+
+
+def run(n_dev, per_dev_batch, steps=24):
+    batch = per_dev_batch * n_dev
+    task = DeepFMTask(embedding_dim=16, capacity_per_shard=1 << 16,
+                      hidden=(128, 64))
+    cfg = TrainerConfig(engine=EngineConfig(num_shards=max(n_dev, 1),
+                                            unique_cap=8192, new_cap=8192),
+                        log_every=0, metrics_enabled=False)
+    if n_dev == 1:
+        trainer = Trainer(task, cfg)
+    else:
+        trainer = ShardedTrainer(task, cfg, make_mesh(n_dev))
+    data = SyntheticCTR(num_users=200_000, num_items=50_000,
+                        batch_size=batch, seed=3)
+    batches = [data.batch() for _ in range(8)]
+    for fb, b in batches[:4]:  # warm + compile
+        out = trainer.train_step(fb, b)
+    jax.block_until_ready(out["loss"])
+    t0 = time.perf_counter()
+    for i in range(steps):
+        fb, b = batches[i % len(batches)]
+        out = trainer.train_step(fb, b)
+    jax.block_until_ready(out["loss"])
+    dt = (time.perf_counter() - t0) / steps
+    return batch / dt
+
+
+if __name__ == "__main__":
+    per_dev = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    n_avail = jax.device_count()
+    sizes = [n for n in (1, 2, 4, 8) if n <= n_avail]
+    out = {"backend": jax.default_backend(), "per_device_batch": per_dev}
+    base = None
+    for n in sizes:
+        eps = run(n, per_dev)
+        if base is None:
+            base = eps
+        eff = eps / (base * n)
+        # On a single-core host all N virtual devices share one core, so
+        # per-device efficiency is capped at 1/N by construction; the
+        # meaningful CPU-mesh signal is software_overhead — how much TOTAL
+        # throughput the sharded program loses vs the single-device one
+        # while doing an N-way exchange (on real chips each device has its
+        # own compute, so per_device_efficiency is the hardware metric).
+        out[f"mesh{n}"] = {"examples_per_sec": round(eps, 1),
+                           "per_device_efficiency": round(eff, 3),
+                           "total_vs_mesh1": round(eps / base, 3)}
+        print(f"mesh={n}: {eps:,.0f} ex/s  per-device eff={eff:.1%}  "
+              f"total vs mesh1={eps / base:.2f}x", flush=True)
+    print(json.dumps(out))
