@@ -110,6 +110,34 @@ class TestMultiSlot:
         for t, stores in tr.engine.stores.items():
             assert stores[0].size() > 0, t
 
+    def test_bf16_merged_bench_config_trains(self):
+        """The exact bench-variant shape (MT_BENCH_DTYPE=bf16, scaled down):
+        merged tables, bf16 pools + stochastic rounding, bf16 dense tower.
+        Guards the cliff-escape configuration the driver bench leans on."""
+        import jax.numpy as jnp
+
+        from monolith_tpu.data.synthetic import SyntheticMultiSlot
+        from monolith_tpu.embedding.engine import EngineConfig
+        from monolith_tpu.models.multislot import MultiSlotTask
+        from monolith_tpu.training.trainer import Trainer, TrainerConfig
+
+        task = MultiSlotTask(num_tables=4, num_slots=10, embedding_dim=8,
+                             capacity_per_shard=8192, history_length=6,
+                             hidden=(32,), merge=True,
+                             table_dtype=jnp.bfloat16,
+                             stochastic_rounding=True,
+                             dense_dtype=jnp.bfloat16)
+        tr = Trainer(task, TrainerConfig(
+            engine=EngineConfig(unique_cap=2048, new_cap=2048),
+            log_every=0, steps_per_dispatch=4))
+        data = SyntheticMultiSlot(num_slots=10, vocab_per_slot=300,
+                                  history_length=6, batch_size=256, seed=1)
+        res = tr.train(iter(data), steps=41)
+        assert np.isfinite(res["loss"])
+        assert res["auc"] > 0.515, res
+        for st in tr.table_states.values():
+            assert st["data"].dtype == jnp.bfloat16
+
     def test_merged_matches_unmerged_bitwise(self):
         """merge=True collapses the 5 same-config tables into one physical
         table (ref MergedMultiTypeHashTable, multi_type_hash_table.py:253).
