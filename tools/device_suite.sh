@@ -36,6 +36,7 @@ echo "TPU OK"
 run microbench 900 python tools/microbench.py
 run cliff_repro5 900 python tools/cliff_repro5.py
 run cliff_repro6 900 python tools/cliff_repro6.py
+run cliff_repro7 900 python tools/cliff_repro7.py
 run ms_ab2 1800 python tools/ms_ab2.py
 
 if [ "${1:-full}" = "quick" ]; then exit 0; fi
