@@ -80,6 +80,10 @@ class MultiSlotTask(RecTask):
     # runs ONE gather + ONE scatter per step instead of one pair per table —
     # the production-shaped fast path (PERF.md round 3).
     merge: bool = False
+    # Cap each merged pool's physical bytes (first-fit binning in
+    # merge_table_specs): keeps f32 pools under the Pallas DMA memory
+    # cliff (~2 GB, PERF.md) while still collapsing launches. 0 = one pool.
+    merge_max_bytes: int = 0
 
     def _segments(self):
         return (
@@ -117,11 +121,13 @@ class MultiSlotTask(RecTask):
             return specs, feats
         from monolith_tpu.embedding.merge import merge_table_specs
         import dataclasses as _dc
-        specs, feats, mapping = merge_table_specs(specs, feats)
-        # all 17 configs are identical -> one merged table; give it a stable
-        # name so EngineConfig per-table caps can reference it
-        rename = {s.name: "table_all" for s in specs
-                  if s.name.startswith("merged_")}
+        specs, feats, mapping = merge_table_specs(
+            specs, feats, max_group_bytes=self.merge_max_bytes)
+        # identical configs -> one merged table (or a few capped bins);
+        # stable names so EngineConfig per-table caps can reference them
+        m_names = sorted(s.name for s in specs if s.name.startswith("merged_"))
+        rename = ({m_names[0]: "table_all"} if len(m_names) == 1 else
+                  {n: f"table_all_{i}" for i, n in enumerate(m_names)})
         specs = [_dc.replace(s, name=rename.get(s.name, s.name))
                  for s in specs]
         feats = [_dc.replace(f, table=rename.get(f.table, f.table))

@@ -170,3 +170,37 @@ class TestMultiSlot:
                 ls.append(float(tr.train_step(fb, b)["loss"]))
             losses[merge] = ls
         np.testing.assert_array_equal(losses[False], losses[True])
+
+    def test_merge_max_bytes_bins_match_full_merge(self):
+        """merge_max_bytes first-fit-bins the merged pool into capped
+        sub-pools (the f32 escape for the Pallas >2GB DMA cliff, PERF.md):
+        same disjoint-fid argument, so binned training must match the
+        single-pool merged run loss-for-loss."""
+        from monolith_tpu.data.synthetic import SyntheticMultiSlot
+        from monolith_tpu.embedding.engine import EngineConfig
+        from monolith_tpu.models.multislot import MultiSlotTask
+        from monolith_tpu.training.trainer import Trainer, TrainerConfig
+
+        losses = {}
+        for cap_bytes in (0, 3 * 8192 * 512):  # 0 = one pool; else ~2 bins
+            task = MultiSlotTask(num_tables=4, num_slots=10, embedding_dim=8,
+                                 capacity_per_shard=8192, history_length=6,
+                                 hidden=(32,), init_scale=0.0, merge=True,
+                                 merge_max_bytes=cap_bytes)
+            names = [s.name for s in task.tables()]
+            if cap_bytes:
+                assert len(names) > 1, names  # really split
+            tr = Trainer(task, TrainerConfig(
+                engine=EngineConfig(unique_cap=4096, new_cap=4096),
+                log_every=0))
+            data = SyntheticMultiSlot(num_slots=10, vocab_per_slot=300,
+                                      history_length=6, batch_size=256,
+                                      seed=3)
+            it = iter(data)
+            ls = []
+            for _ in range(12):
+                fb, b = next(it)
+                ls.append(float(tr.train_step(fb, b)["loss"]))
+            losses[cap_bytes] = ls
+        vals = list(losses.values())
+        np.testing.assert_array_equal(vals[0], vals[1])
