@@ -180,7 +180,11 @@ def bench_multislot():
     # bytes (the 2.3 GB merged f32 pool drops to 1.15 GB, under the Pallas
     # DMA memory cliff, PERF.md) and halves gather/scatter HBM traffic.
     bf16 = os.environ.get("MT_BENCH_DTYPE", "f32") == "bf16"
-    if not bf16:
+    # MT_BENCH_MERGE_MAX_GB: bin the merged pool into sub-cliff pieces
+    # (merge_max_bytes) so the f32 config can keep the Pallas DMA kernels
+    # if cliff_repro6 shows per-buffer-size triggering.
+    max_gb = float(os.environ.get("MT_BENCH_MERGE_MAX_GB", "0"))
+    if not bf16 and not max_gb:
         # the 2.28 GB merged f32 pool sits above the Pallas DMA memory
         # cliff (PERF.md) — keep the capacity-independent XLA scatter
         # unless explicitly overridden; bf16 (1.14 GB) keeps the kernels
@@ -189,6 +193,7 @@ def bench_multislot():
     task = MultiSlotTask(num_tables=16, num_slots=40, embedding_dim=16,
                          capacity_per_shard=1 << 18, history_length=20,
                          hidden=(256, 128, 64), merge=True,
+                         merge_max_bytes=int(max_gb * (1 << 30)),
                          table_dtype=jnp.bfloat16 if bf16 else jnp.float32,
                          stochastic_rounding=bf16,
                          dense_dtype=jnp.bfloat16 if bf16 else None)

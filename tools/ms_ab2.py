@@ -16,7 +16,8 @@ import time
 import jax
 import numpy as np
 
-VARIANTS = ["f32-xla", "f32-pallas", "bf16-xla", "bf16-pallas"]
+VARIANTS = ["f32-xla", "f32-pallas", "bf16-xla", "bf16-pallas",
+            "f32bin-pallas"]  # binned: merge_max_bytes=1.2GB pools
 
 
 def build(dtype: str, pallas: bool):
@@ -29,9 +30,11 @@ def build(dtype: str, pallas: bool):
     from monolith_tpu.training.trainer import Trainer, TrainerConfig
 
     bf16 = dtype == "bf16"
+    binned = dtype.endswith("bin")
     task = MultiSlotTask(num_tables=16, num_slots=40, embedding_dim=16,
                          capacity_per_shard=1 << 18, history_length=20,
                          hidden=(256, 128, 64), merge=True,
+                         merge_max_bytes=int(1.2 * (1 << 30)) if binned else 0,
                          table_dtype=jnp.bfloat16 if bf16 else jnp.float32,
                          stochastic_rounding=bf16,
                          dense_dtype=jnp.bfloat16 if bf16 else None)
