@@ -351,6 +351,59 @@ def test_estimator_multiprocess_resume(tmp_path):
 
 
 @pytest.mark.timeout(600)
+def test_fused_exchange_launch_census():
+    """Structural check of the fused exchange (VERDICT r2 #10): the number
+    of all_to_all and io_callback ops in the multihost step program is
+    INDEPENDENT of table count (ref distributed_ps_sync.py:130-159 — one
+    alltoall exchanges the fused fid tensor for all tables). Counted at
+    trace time by wrapping the primitives during the first train_step."""
+    import unittest.mock as mock
+
+    import jax
+    import jax.experimental
+
+    from monolith_tpu.data.synthetic import SyntheticMultiSlot
+    from monolith_tpu.embedding.engine import EngineConfig
+    from monolith_tpu.models.multislot import MultiSlotTask
+    from monolith_tpu.parallel.multihost import MultiHostTrainer
+    from monolith_tpu.training.trainer import TrainerConfig
+
+    counts = {}
+    orig_a2a = jax.lax.all_to_all
+    orig_cb = jax.experimental.io_callback
+    for n_tables in (1, 3):
+        task = MultiSlotTask(num_tables=n_tables, num_slots=4,
+                             embedding_dim=8, capacity_per_shard=1024,
+                             history_length=6, hidden=(16,), merge=False)
+        n_physical = n_tables + 1  # + history table
+        assert len(task.tables()) == n_physical
+        cfg = TrainerConfig(engine=EngineConfig(num_shards=8, unique_cap=256,
+                                                new_cap=256, bucket_cap=64),
+                            log_every=0)
+        trainer = MultiHostTrainer(task, cfg)
+        data = SyntheticMultiSlot(num_slots=4, vocab_per_slot=60,
+                                  history_length=6, batch_size=64, seed=7)
+        fb, b = next(iter(data))
+        c = {"a2a": 0, "cb": 0}
+
+        def count_a2a(*a, **k):
+            c["a2a"] += 1
+            return orig_a2a(*a, **k)
+
+        def count_cb(*a, **k):
+            c["cb"] += 1
+            return orig_cb(*a, **k)
+
+        with mock.patch.object(jax.lax, "all_to_all", count_a2a), \
+                mock.patch.object(jax.experimental, "io_callback", count_cb):
+            out = trainer.train_step(fb, b)  # first call traces the program
+        assert np.isfinite(float(out["loss"]))
+        counts[n_tables] = dict(c)
+    assert counts[1]["a2a"] > 0 and counts[1]["cb"] > 0
+    assert counts[1] == counts[3], counts  # table-count independent
+
+
+@pytest.mark.timeout(600)
 def test_two_process_multislot_smoke(tmp_path):
     """Multi-TABLE multihost smoke (VERDICT r2 #10 done-criterion): 3
     physical tables (2 scalar + history, merge=False) train under the fused
