@@ -499,3 +499,35 @@ class TestBf16PackedPool:
             b = np.asarray(tr2.table_states[tname]["data"], np.float32)
             np.testing.assert_allclose(a, b, atol=0)
         assert tr2.table_states[tname]["data"].dtype == jnp.bfloat16
+
+
+class TestTrainCLI:
+    def test_cli_train_eval_on_files(self, tmp_path):
+        """python -m monolith_tpu.train (the rebuild's local_train binary):
+        task from the zoo + JSON overrides, framed-file data, train+eval,
+        checkpoint under --model_dir."""
+        from monolith_tpu import train as cli
+        from monolith_tpu.data.example import Example
+        from monolith_tpu.data.framing import write_example_file
+        from monolith_tpu.data.synthetic import SyntheticCTR
+
+        gen = SyntheticCTR(num_users=50, num_items=30, batch_size=32, seed=4)
+        exs = []
+        for _ in range(12):
+            fb, b = gen.batch()
+            for i in range(32):
+                exs.append(Example(
+                    features={k: v[i][v[i] >= 0] for k, v in fb.items()},
+                    labels=np.asarray([b["label"][i]], np.float32)))
+        write_example_file(str(tmp_path / "part-0.rec"), exs)
+        out = cli.main([
+            "--task", "deepfm",
+            "--task_args", '{"embedding_dim": 8, "capacity_per_shard": 2048,'
+                           ' "hidden": [16]}',
+            "--data", f"files:{tmp_path}/part-*.rec",
+            "--steps", "8", "--eval_steps", "3", "--batch_size", "32",
+            "--mode", "train_and_eval", "--log_every", "0",
+            "--model_dir", str(tmp_path / "model")])
+        assert np.isfinite(out["train"]["loss"])
+        assert np.isfinite(out["eval"]["loss"])
+        assert (tmp_path / "model" / "CHECKPOINT").exists()
