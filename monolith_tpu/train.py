@@ -35,6 +35,9 @@ from monolith_tpu.estimator import Estimator, RunnerConfig
 ZOO = {
     "deepfm": ("monolith_tpu.models.deepfm", "DeepFMTask"),
     "multislot": ("monolith_tpu.models.multislot", "MultiSlotTask"),
+    "ffm": ("monolith_tpu.models.ffm", "FFMTask"),
+    "din": ("monolith_tpu.models.din", "DINTask"),
+    "mmoe": ("monolith_tpu.models.multitask", "MMoETask"),
 }
 
 
