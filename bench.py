@@ -96,7 +96,7 @@ def _bench_protocol(trainer, batches, batch_size, K, steps_per_run, n_runs,
         return (time.perf_counter() - t0) / steps_per_run * 1e3
 
     e2e_ms, dev_ms, post_save_ms = [], [], []
-    saved = False
+    saved, save_s = False, None
     for r in range(n_runs):
         e = e2e_window()
         e2e_ms.append(e)
@@ -121,7 +121,8 @@ def _bench_protocol(trainer, batches, batch_size, K, steps_per_run, n_runs,
         "best_eps": round(batch_size / min(e2e_ms) * 1e3, 1),
     }
     if prod_save_dir is not None:
-        breakdown["ckpt_save_s"] = round(save_s, 2)
+        breakdown["ckpt_save_s"] = (round(save_s, 2) if save_s is not None
+                                    else None)
         breakdown["post_save_e2e_ms_per_step"] = (
             round(_median(post_save_ms), 3) if post_save_ms else None)
     return eps, breakdown

@@ -124,7 +124,17 @@ class Batcher2D {
         bool fresh_b;
         int64_t* bslot = bucket_.FindOrInsert(fid, h, &fresh_b);
         if (!fresh_b) {  // bucket position already assigned for this d
-          if (*bslot < 0) { idx_out[i] = -1; continue; }
+          if (*bslot == -1) { idx_out[i] = -1; continue; }  // global overflow
+          if (*bslot < -1) {
+            // bucket-dropped but globally assigned (-(gj+2)): the id may be
+            // delivered from other batch shards, so its occurrences here
+            // still count toward admission (ref semantics: counts are ALL
+            // batch occurrences, embedding_hash_table_tf_bridge.cc:183)
+            if (out_occurrence)
+              ++out_occurrence[(int64_t)s * global_cap + (-*bslot - 2)];
+            idx_out[i] = -1;
+            continue;
+          }
           // bslot packs (global unique slot gj << 32) | recv-buffer index
           idx_out[i] = (int32_t)(*bslot & 0xFFFFFFFF);
           if (out_occurrence)
@@ -154,8 +164,8 @@ class Batcher2D {
         if (out_occurrence)
           ++out_occurrence[(int64_t)s * global_cap + gj];
         int32_t bc = out_bucket_counts[(int64_t)s * D + d];
-        if (bc >= bucket_cap) {  // bucket overflow: drop for this shard
-          *bslot = -1;
+        if (bc >= bucket_cap) {  // bucket overflow: drop for this batch shard
+          *bslot = -((int64_t)gj + 2);  // keep gj so repeats still count
           idx_out[i] = -1;
           ++overflow;
           continue;

@@ -134,11 +134,19 @@ class MultiSlotTask(RecTask):
                  for f in feats]
         return specs, feats
 
+    def _built(self):
+        # cache: engine construction consults tables() AND features(); the
+        # spec build + merge binning should run once, and both views must
+        # come from the same pass
+        if "_raw_cache" not in self.__dict__:
+            self.__dict__["_raw_cache"] = self._raw()
+        return self.__dict__["_raw_cache"]
+
     def tables(self):
-        return self._raw()[0]
+        return self._built()[0]
 
     def features(self):
-        return self._raw()[1]
+        return self._built()[1]
 
     def build_module(self):
         return MultiSlotModule(embedding_dim=self.embedding_dim,

@@ -60,7 +60,8 @@ def build_data(task, spec: str, fmt: str, batch_size: int,
     if spec == "synthetic":
         # task-matched generators (the demo/bench path)
         from monolith_tpu.data import synthetic
-        if type(task).__name__ == "MultiSlotTask":
+        from monolith_tpu.models.multislot import MultiSlotTask
+        if isinstance(task, MultiSlotTask):
             return synthetic.SyntheticMultiSlot(
                 num_slots=task.num_slots, history_length=task.history_length,
                 batch_size=batch_size, seed=seed)

@@ -36,12 +36,12 @@ def measure_unique_counts(batches: Iterable[Dict[str, np.ndarray]],
             flat = flat[flat != -1]
             u = np.unique(flat)
             if num_shards > 1:
-                # shard routing uses a mixing hash; a uniform split + a
-                # binomial tail bound approximates the worst shard well
-                # without reimplementing the C++ hash here
-                per = len(u) / num_shards
-                std = float(np.sqrt(max(per, 1.0)))
-                m = int(per + 4.0 * std)
+                # exact worst shard under the REAL routing hash (mt_shard_of
+                # — the same C++ mix the dedup uses), not an approximation:
+                # an under-provisioned cap silently drops overflowed ids
+                from monolith_tpu.embedding.host_store import shard_of_batch
+                shards = shard_of_batch(u, num_shards)
+                m = int(np.bincount(shards, minlength=num_shards).max())
             else:
                 m = len(u)
             worst[tname] = max(worst.get(tname, 0), m)

@@ -451,3 +451,30 @@ class TestUnequalCountsShardedPaths:
         # store population over the id universe
         admitted = sum(st.size() for st in tr.engine.stores["t"] if st)
         assert abs(admitted / n - self.REPS / self.THR) < 0.03, admitted / n
+
+
+class TestBatcher2DOverflowOccurrence:
+    def test_bucket_dropped_repeats_still_counted(self):
+        """Occurrence totals must be ALL batch occurrences (ref
+        embedding_hash_table_tf_bridge.cc:183) even for ids whose bucket
+        slot overflowed in one batch shard — repeats after the drop used to
+        go uncounted, skewing count-proportional admission exactly on
+        overloaded steps."""
+        from monolith_tpu.embedding.host_store import Batcher2D
+
+        b = Batcher2D(expected_unique=64)
+        S, D, G, BC = 1, 1, 64, 2
+        # one batch shard, bucket_cap=2: ids 10,20 fill the bucket; id 30
+        # overflows, then repeats 3 more times — all 4 must count
+        vals = np.array([10, 20, 30, 30, 30, 30, 10], dtype=np.int64)
+        unique, counts, bidx, bcounts, index, occ, overflow = b.dedup2(
+            vals, num_batch_shards=D, num_shards=S, global_cap=G,
+            bucket_cap=BC)
+        assert overflow >= 1
+        u = unique[0][:counts[0]].tolist()
+        occ_of = {fid: int(occ[0][j]) for j, fid in enumerate(u)}
+        assert occ_of[10] == 2
+        assert occ_of[20] == 1
+        assert occ_of[30] == 4  # 1 at drop + 3 repeats
+        # dropped id delivers nothing this shard
+        assert all(index[2:6] == -1)

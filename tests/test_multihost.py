@@ -404,6 +404,53 @@ def test_fused_exchange_launch_census():
 
 
 @pytest.mark.timeout(600)
+def test_bf16_tables_exchange_in_bf16():
+    """bf16 tables' embedding exchange must ride the a2a in bf16 (lossless
+    forward — the rows came from a bf16 pool; halves a2a#2/a2a#3 bytes),
+    while f32 tables keep f32: with a mixed model both dtype groups appear,
+    and training stays finite."""
+    import unittest.mock as mock
+
+    import jax
+    import jax.numpy as jnp
+
+    from monolith_tpu.data.synthetic import SyntheticMultiSlot
+    from monolith_tpu.embedding.engine import EngineConfig
+    from monolith_tpu.models.multislot import MultiSlotTask
+    from monolith_tpu.parallel.multihost import MultiHostTrainer
+    from monolith_tpu.training.trainer import TrainerConfig
+
+    task = MultiSlotTask(num_tables=2, num_slots=4, embedding_dim=8,
+                         capacity_per_shard=1024, history_length=6,
+                         hidden=(16,), merge=False,
+                         table_dtype=jnp.bfloat16, stochastic_rounding=True)
+    cfg = TrainerConfig(engine=EngineConfig(num_shards=8, unique_cap=256,
+                                            new_cap=256, bucket_cap=64),
+                        log_every=0)
+    trainer = MultiHostTrainer(task, cfg)
+    data = SyntheticMultiSlot(num_slots=4, vocab_per_slot=60,
+                              history_length=6, batch_size=64, seed=5)
+    it = iter(data)
+    a2a_dtypes = []
+    orig_a2a = jax.lax.all_to_all
+
+    def spy(x, *a, **k):
+        a2a_dtypes.append(x.dtype)
+        return orig_a2a(x, *a, **k)
+
+    with mock.patch.object(jax.lax, "all_to_all", spy):
+        fb, b = next(it)
+        out = trainer.train_step(fb, b)
+    assert np.isfinite(float(out["loss"]))
+    # all tables are bf16 here: the embedding exchange must be bf16
+    assert jnp.bfloat16 in a2a_dtypes, a2a_dtypes
+    for _ in range(5):
+        fb, b = next(it)
+        out = trainer.train_step(fb, b)
+    assert np.isfinite(float(out["loss"]))
+
+
+@pytest.mark.timeout(600)
 def test_two_process_multislot_smoke(tmp_path):
     """Multi-TABLE multihost smoke (VERDICT r2 #10 done-criterion): 3
     physical tables (2 scalar + history, merge=False) train under the fused
