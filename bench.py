@@ -232,6 +232,30 @@ def bench_auc():
     return "northstar_eval_auc", NORTHSTAR["batch_size"], r["eval_auc"], breakdown
 
 
+def _claim_devices_or_die(timeout_s: float = 240.0):
+    """The axon tunnel occasionally goes down in a way that makes the
+    device claim hang forever (PERF.md round-3 outage log). Claim it in a
+    daemon thread with a deadline so the driver gets ONE honest JSON line
+    instead of a hung process."""
+    import threading
+    out = {}
+
+    def claim():
+        out["devices"] = jax.devices()
+
+    t = threading.Thread(target=claim, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "devices" not in out:
+        print(json.dumps({
+            "metric": "bench_error", "value": 0, "unit": "examples/s",
+            "vs_baseline": 0.0,
+            "error": f"device claim hung >{timeout_s:.0f}s (axon tunnel "
+                     "outage — see PERF.md round-3 outage log)"}))
+        os._exit(1)
+    return out["devices"]
+
+
 def main():
     # persistent compile cache: repeat runs skip the ~40s first compile
     try:
@@ -239,6 +263,7 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     except Exception:
         pass
+    _claim_devices_or_die()
     config = os.environ.get("MT_BENCH_CONFIG", "deepfm")
     fn = {"deepfm": bench_deepfm, "multislot": bench_multislot,
           "auc": bench_auc}[config]

@@ -29,6 +29,54 @@ _SERVICE = "monolith_tpu.ParameterSync"
 _PREDICT_SERVICE = "monolith_tpu.Predict"
 
 
+class VersionWatcher(threading.Thread):
+    """Polls an export base dir's EXPORT pointer (written LAST by
+    export_model — the completeness marker) and hot-swaps the model to new
+    versions via ServingModel.reload_export. The reference's tfs_monitor +
+    replica_manager version loop (agent_service: watch model dir, load new
+    saved-model version into TFS, swap, unload)."""
+
+    def __init__(self, model: ServingModel, base_dir: str,
+                 poll_s: float = 10.0):
+        super().__init__(daemon=True)
+        self.model = model
+        self.base_dir = base_dir
+        self.poll_s = poll_s
+        self._stop = threading.Event()
+        self.swaps = 0
+
+    def _latest_step(self) -> Optional[int]:
+        import os
+        try:
+            with open(os.path.join(self.base_dir, "EXPORT")) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return None
+
+    def poll_once(self) -> bool:
+        """One poll: swap if the pointer advanced. Returns True on swap."""
+        import os
+        step = self._latest_step()
+        if step is None or step <= self.model.step:
+            return False
+        path = os.path.join(self.base_dir, f"export-{step}")
+        new_step = self.model.reload_export(path)
+        self.swaps += 1
+        log.info("version watcher: hot-swapped to export step %d", new_step)
+        return True
+
+    def run(self):
+        while not self._stop.wait(self.poll_s):
+            try:
+                self.poll_once()
+            except Exception:  # keep serving on a bad/partial export
+                log.exception("version watcher: reload failed; still on "
+                              "step %d", self.model.step)
+
+    def stop(self):
+        self._stop.set()
+
+
 class _Handler(grpc.GenericRpcHandler):
     def __init__(self, agent: "ServingAgent"):
         self._agent = agent
@@ -62,8 +110,11 @@ class ServingAgent:
     def __init__(self, model: ServingModel, port: int = 0,
                  discovery: Optional[ServiceDiscovery] = None,
                  service_name: str = "serving", replica_index: int = 0,
-                 heartbeat_s: float = 5.0):
+                 heartbeat_s: float = 5.0, watch_dir: Optional[str] = None,
+                 watch_poll_s: float = 10.0):
         self.model = model
+        self.watcher = (VersionWatcher(model, watch_dir, watch_poll_s)
+                        if watch_dir else None)
         self.discovery = discovery
         self.service_name = service_name
         self.replica_index = replica_index
@@ -116,11 +167,15 @@ class ServingAgent:
 
             self._hb_thread = threading.Thread(target=beat, daemon=True)
             self._hb_thread.start()
+        if self.watcher is not None:
+            self.watcher.start()
         log.info("serving agent on %s", self.addr)
         return self.addr
 
     def stop(self) -> None:
         self._stop.set()
+        if self.watcher is not None:
+            self.watcher.stop()
         if self.discovery is not None:
             self.discovery.deregister(self.service_name, self.replica_index,
                                       self.addr)

@@ -49,6 +49,7 @@ class ServingModel:
         self.unique_cap = unique_cap
         self.shard_index = shard_index
         self.num_row_shards = num_row_shards
+        self.headroom = headroom
         self._lock = threading.Lock()
 
         with open(os.path.join(export_path, "meta.json")) as f:
@@ -150,8 +151,23 @@ class ServingModel:
 
     def predict(self, fid_batch: Dict[str, np.ndarray],
                 batch: Optional[Dict[str, np.ndarray]] = None) -> np.ndarray:
-        """Serve predictions for a batch of sparse features."""
+        """Serve predictions for a batch of sparse features.
+
+        The host prepare + pool snapshot happen under the version lock so a
+        concurrent reload_export cannot pair old-store row indices with a
+        new version's pools; the device forward runs outside it."""
         batch = batch or {}
+        with self._lock:
+            inputs, params = self._predict_host(fid_batch, batch)
+            pools = dict(self.pools)
+        if self._jit_fwd is None:
+            self._jit_fwd = jax.jit(self._forward)
+        preds, _ = self._jit_fwd(pools, params, inputs,
+                                 {k: jnp.asarray(v) for k, v in batch.items()})
+        return np.asarray(preds)
+
+    def _predict_host(self, fid_batch, batch):
+        """Host half of predict (caller holds self._lock)."""
         inputs = self._prepare(fid_batch)
         if self.params is None:
             # build a param template with the right treedef, then load bytes
@@ -176,13 +192,7 @@ class ServingModel:
                     template, self._model_state_bytes)
             self.params = {"params": serialization.from_bytes(
                 params_t, self._dense_bytes), **self.model_state}
-        if self._jit_fwd is None:
-            self._jit_fwd = jax.jit(self._forward)
-        with self._lock:
-            pools = dict(self.pools)
-        preds, _ = self._jit_fwd(pools, self.params,
-                                 inputs, {k: jnp.asarray(v) for k, v in batch.items()})
-        return np.asarray(preds)
+        return inputs, self.params
 
     def lookup_rows(self, table: str, fids: np.ndarray) -> np.ndarray:
         """Embedding-shard role: raw id -> value lookup (missing ids read
@@ -190,8 +200,8 @@ class ServingModel:
         (distributed_ps.py:220-250); a ShardedServingRouter fans predict
         requests out to these."""
         fids = np.asarray(fids, np.int64)
-        rows = self.stores[table].lookup(fids)
-        with self._lock:
+        with self._lock:  # store+pool captured under one version
+            rows = self.stores[table].lookup(fids)
             pool = np.asarray(self.pools[table])
         out = np.zeros((len(fids), pool.shape[1]), np.float32)
         ok = rows >= 0
@@ -207,9 +217,9 @@ class ServingModel:
         number of rows applied (ids beyond pool capacity are dropped)."""
         spec = self.tables[table]
         assert values.shape[1] == spec.dim
-        rows, _, _ = self.stores[table].assign(np.asarray(fids, np.int64))
-        ok = rows >= 0
-        with self._lock:
+        with self._lock:  # assign + pool write under one version
+            rows, _, _ = self.stores[table].assign(np.asarray(fids, np.int64))
+            ok = rows >= 0
             self.pools[table] = table_lib.assign_rows(
                 spec, {"params": self.pools[table], "slots": []},
                 jnp.asarray(rows), jnp.asarray(values, jnp.float32))["params"]
@@ -222,6 +232,36 @@ class ServingModel:
             self.params = {"params": new_p, **self.model_state}
         else:
             self._dense_bytes = dense_bytes
+
+    def reload_export(self, export_path: str) -> int:
+        """Hot-swap the WHOLE model to a new export version, atomically.
+
+        The reference's agent/TFS version state machine (agent_service
+        replica_manager + tfs_monitor: watch for a new saved-model version,
+        load it beside the serving one, swap, unload): the new version is
+        built off to the side (memory briefly holds both, like TFS), then
+        stores/pools/dense swap under the version lock so in-flight
+        predicts never pair old row indices with new pools. Returns the new
+        version's step."""
+        fresh = ServingModel(self.task, export_path, headroom=self.headroom,
+                             unique_cap=self.unique_cap,
+                             shard_index=self.shard_index,
+                             num_row_shards=self.num_row_shards)
+        with self._lock:
+            self.meta, self.step = fresh.meta, fresh.step
+            self.stores, self.pools = fresh.stores, fresh.pools
+            self.capacity = fresh.capacity
+            self._batchers = fresh._batchers
+            self._dense_bytes = fresh._dense_bytes
+            self._model_state_bytes = fresh._model_state_bytes
+            if self.params is not None:
+                new_p = serialization.from_bytes(self.params["params"],
+                                                 fresh._dense_bytes)
+                if fresh._model_state_bytes and self.model_state:
+                    self.model_state = serialization.from_bytes(
+                        self.model_state, fresh._model_state_bytes)
+                self.params = {"params": new_p, **self.model_state}
+        return self.step
 
     def table_sizes(self) -> Dict[str, int]:
         return {t: s.size() for t, s in self.stores.items()}

@@ -38,6 +38,8 @@ ZOO = {
     "ffm": ("monolith_tpu.models.ffm", "FFMTask"),
     "din": ("monolith_tpu.models.din", "DINTask"),
     "mmoe": ("monolith_tpu.models.multitask", "MMoETask"),
+    "dcn": ("monolith_tpu.models.dcn", "DCNTask"),
+    "autoint": ("monolith_tpu.models.autoint", "AutoIntTask"),
 }
 
 

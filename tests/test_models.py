@@ -204,3 +204,33 @@ class TestMultiSlot:
             losses[cap_bytes] = ls
         vals = list(losses.values())
         np.testing.assert_array_equal(vals[0], vals[1])
+
+
+class TestDCNAutoInt:
+    def test_dcn_learns(self):
+        from monolith_tpu.models.dcn import DCNTask
+
+        data = SyntheticCTR(num_users=100, num_items=60, batch_size=256,
+                            seed=33)
+        tr = Trainer(DCNTask(capacity_per_shard=8192), cfg())
+        it = iter(data)
+        losses = []
+        for _ in range(80):
+            fb, b = next(it)
+            losses.append(float(tr.train_step(fb, b)["loss"]))
+        assert np.isfinite(losses).all()
+        assert np.mean(losses[-10:]) < np.mean(losses[:10])
+
+    def test_autoint_learns(self):
+        from monolith_tpu.models.autoint import AutoIntTask
+
+        data = SyntheticCTR(num_users=100, num_items=60, batch_size=256,
+                            seed=34)
+        tr = Trainer(AutoIntTask(capacity_per_shard=8192), cfg())
+        it = iter(data)
+        losses = []
+        for _ in range(80):
+            fb, b = next(it)
+            losses.append(float(tr.train_step(fb, b)["loss"]))
+        assert np.isfinite(losses).all()
+        assert np.mean(losses[-10:]) < np.mean(losses[:10])

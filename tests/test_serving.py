@@ -292,3 +292,46 @@ class TestShardedServing:
         finally:
             for a in agents:
                 a.stop()
+
+
+class TestVersionHotSwap:
+    def test_reload_export_swaps_to_new_version(self, tmp_path):
+        """ServingModel.reload_export + VersionWatcher: the reference's
+        agent/TFS version loop (tfs_monitor + replica_manager — watch the
+        model dir, load the new version, swap). Predictions after the swap
+        must match a fresh load of the new export; realtime delta pushes
+        keep applying to the swapped state."""
+        from monolith_tpu.serving.agent import VersionWatcher
+
+        trainer = make_trainer()
+        data = train_some(trainer, steps=20)
+        base = str(tmp_path)
+        path_a = export_model(trainer, base)
+        model = ServingModel(make_task(), path_a)
+        watcher = VersionWatcher(model, base, poll_s=999)  # manual polls
+        assert not watcher.poll_once()  # already on the latest version
+
+        fb, b = next(iter(data))
+        preds_a = model.predict(fb, b)
+
+        # train further and export version B
+        train_some(trainer, steps=25, seed=52)
+        path_b = export_model(trainer, base)
+        assert path_b != path_a
+        assert watcher.poll_once()  # pointer advanced -> hot swap
+        assert watcher.swaps == 1 and model.step > 0
+
+        preds_b = model.predict(fb, b)
+        fresh = ServingModel(make_task(), path_b)
+        np.testing.assert_allclose(preds_b, fresh.predict(fb, b),
+                                   rtol=1e-6, atol=1e-6)
+        assert not np.allclose(preds_a, preds_b)  # really a new version
+
+        # delta pushes still apply post-swap
+        tname = next(iter(model.tables))
+        dim = model.tables[tname].dim
+        applied = model.apply_delta(tname, np.array([999999], np.int64),
+                                    np.ones((1, dim), np.float32))
+        assert applied == 1
+        vals = model.lookup_rows(tname, np.array([999999], np.int64))
+        np.testing.assert_array_equal(vals, np.ones((1, dim), np.float32))

@@ -28,7 +28,7 @@ run() {  # run <name> <timeout_s> <cmd...>
 }
 
 echo "probing TPU..."
-if ! timeout 180 python -c "import jax; assert jax.devices()[0].platform=='tpu'"; then
+if ! timeout 180 python -c "import jax; assert jax.devices()[0].platform in ('tpu','axon'), jax.devices()"; then
   echo "TPU unreachable; aborting"; exit 1
 fi
 echo "TPU OK"
