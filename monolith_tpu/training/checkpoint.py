@@ -367,6 +367,13 @@ def _shard_data(arr, s: int) -> np.ndarray:
     raise ValueError(f"shard {s} is not addressable from this process")
 
 
+def _zeroed_rows(arr: np.ndarray, rows: np.ndarray) -> np.ndarray:
+    """Copy of `arr` with the given row indices zeroed."""
+    out = np.array(arr, copy=True)
+    out[rows] = 0
+    return out
+
+
 def save_distributed(trainer, directory: str,
                      evict_before_save: bool = False,
                      dense_only: bool = False) -> str:
@@ -417,6 +424,15 @@ def save_distributed(trainer, directory: str,
             store = trainer.engine.stores[tname][s]
             fids, rows, tss, counts = store.save()
             shard = jax.tree.map(lambda x: _shard_data(x, s), state)
+            # rows freed by evict/spill whose deferred in-step zeroing has
+            # not drained yet (MultiHostTrainer._pending_zero) still hold
+            # the evicted ids' content on device — zero them in the SAVED
+            # copy so a restore never resurrects stale state
+            pend = getattr(trainer, "_pending_zero", {}).get(tname, {})
+            if pend.get(s):
+                zr = np.fromiter(pend[s], dtype=np.int64)
+                shard = jax.tree.map(
+                    lambda x: _zeroed_rows(x, zr), shard)
             arrays = {"pool": table_lib.params_np(spec, shard),
                       "fids": fids, "rows": rows, "tss": tss,
                       "counts": counts}

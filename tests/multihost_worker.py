@@ -68,7 +68,8 @@ def main():
                                   history_length=6, batch_size=64, seed=1000)
     else:
         task = DeepFMTask(embedding_dim=8, capacity_per_shard=4096,
-                          hidden=(16, 8), init_scale=0.0)
+                          hidden=(16, 8), init_scale=0.0,
+                          ttl_seconds=1 if mode == "evictzero" else 0)
         data = SyntheticCTR(num_users=100, num_items=60, batch_size=64,
                             seed=1000)
     cfg = TrainerConfig(engine=EngineConfig(num_shards=S, unique_cap=512,
@@ -261,6 +262,51 @@ def main():
               f"rounds={res['sync_rounds']} matched={matched} "
               f"checked={checked} local_size={local_size} "
               f"replica_size={replica_size}", flush=True)
+    elif mode == "evictzero":
+        # Recycled-row zeroing (VERDICT r3 #5): eviction frees host rows but
+        # the globally-sharded pools can't be zeroed eagerly from the host;
+        # freed rows queue in _pending_zero, drain through the map callback,
+        # and the jitted step zeroes them BEFORE any gather. Prove (a) the
+        # stale content really was still on device right after evict (the
+        # hazard), (b) one step later every drained row that wasn't
+        # re-allocated reads zeros, (c) the queue fully drained.
+        from monolith_tpu.training.checkpoint import _shard_data
+        spec = trainer.engine.tables["sparse"]
+        cap = spec.capacity_per_shard
+        for i in range(steps):
+            fb, b = next_local()
+            trainer.train_step(fb, b, ts=i)
+        freed = trainer.evict_expired(expire_before=10 ** 9)["sparse"]
+        assert all(trainer.engine.stores["sparse"][s].size() == 0
+                   for s in trainer.local_device_ids)
+        freed_by_shard = {
+            s: set((freed[(freed // cap) == s] % cap).tolist())
+            for s in trainer.local_device_ids}
+        leaf = list(trainer.table_states["sparse"].values())[0]
+        stale = 0  # freed rows whose device content is still nonzero
+        for s in trainer.local_device_ids:
+            d = np.asarray(_shard_data(leaf, s))
+            rows = sorted(freed_by_shard[s])
+            stale += int((np.abs(d[rows]).sum(axis=1) > 0).sum())
+        # one more step: re-admits ids onto recycled rows AND drains the
+        # pending-zero queue through the map callback
+        fb, b = next_local()
+        trainer.train_step(fb, b, ts=100)
+        # the dispatch is async: block before reading stores/pend — the map
+        # callback (admission + drain) runs during device execution
+        jax.block_until_ready(
+            jax.tree.leaves(trainer.table_states["sparse"]))
+        pend = sum(len(p) for p in trainer._pending_zero["sparse"].values())
+        leaf = list(trainer.table_states["sparse"].values())[0]
+        checked = bad = 0
+        for s in trainer.local_device_ids:
+            live = set(trainer.engine.stores["sparse"][s].save()[1].tolist())
+            d = np.asarray(_shard_data(leaf, s))
+            rows = sorted(freed_by_shard[s] - live)
+            checked += len(rows)
+            bad += int((np.abs(d[rows]).sum(axis=1) > 0).sum())
+        print(f"RESULT {pid} stale={stale} checked={checked} bad={bad} "
+              f"pend={pend}", flush=True)
     elif mode == "multislot":
         for i in range(steps):
             fb, b = next_local()

@@ -466,3 +466,23 @@ def test_two_process_multislot_smoke(tmp_path):
     vals = {p: (m.group(2), m.group(3)) for p, m in res.items()}
     assert vals[0] == vals[1], vals
     assert 0.0 < float(vals[0][0]) < 1.0
+
+
+@pytest.mark.timeout(600)
+def test_two_process_evict_zeroes_recycled_rows(tmp_path):
+    """Recycled-row zeroing at the multi-host topology (VERDICT r3 #5):
+    eviction frees host rows, the freed DEVICE rows queue host-side and
+    drain through the map callback, and the jitted step zeroes them before
+    any gather. The worker proves the hazard existed (stale nonzero content
+    on device right after evict), then that one step later every drained
+    row that wasn't re-allocated reads zeros and the queue is empty — so an
+    async_optimize stale-forward can never read an evicted id's state."""
+    outs = run_workers(2, 6, 2, "evictzero", str(tmp_path))
+    pat = r"RESULT (\d) stale=(\d+) checked=(\d+) bad=(\d+) pend=(\d+)"
+    res = parse_results(outs, pat)
+    for p, m in res.items():
+        stale, checked, bad, pend = (int(m.group(i)) for i in range(2, 6))
+        assert stale > 0, f"proc {p}: evicted rows were already clean"
+        assert checked > 0, f"proc {p}: nothing to check"
+        assert bad == 0, f"proc {p}: {bad}/{checked} recycled rows stale"
+        assert pend == 0, f"proc {p}: pending-zero queue not drained"
