@@ -232,6 +232,19 @@ def bench_auc():
     return "northstar_eval_auc", NORTHSTAR["batch_size"], r["eval_auc"], breakdown
 
 
+def bench_auc_parity():
+    """Reference head-to-head (VERDICT r3 #4): the reference demo model
+    equation in plain TF vs the tpu-native MovieRankingTask on identical
+    frozen batches; value = monolith eval AUC, vs_baseline = ratio to the
+    reference twin's AUC (1.0 = exact parity)."""
+    from monolith_tpu import parity
+    r = parity.auc_parity()
+    breakdown = {k: round(v, 5) for k, v in r.items()}
+    breakdown["config"] = dict(parity.PARITY)
+    return "auc_parity_monolith_eval_auc", parity.PARITY["batch_size"], \
+        r["monolith_auc"], breakdown
+
+
 def _claim_devices_or_die(timeout_s: float = 240.0):
     """The axon tunnel occasionally goes down in a way that makes the
     device claim hang forever (PERF.md round-3 outage log). Claim it in a
@@ -266,7 +279,7 @@ def main():
     _claim_devices_or_die()
     config = os.environ.get("MT_BENCH_CONFIG", "deepfm")
     fn = {"deepfm": bench_deepfm, "multislot": bench_multislot,
-          "auc": bench_auc}[config]
+          "auc": bench_auc, "auc_parity": bench_auc_parity}[config]
     metric, batch_size, eps, breakdown = fn()
     if _metrics_on():
         metric += "_prod"
@@ -276,6 +289,15 @@ def main():
             "value": round(eps, 5),
             "unit": "auc",
             "vs_baseline": round(eps / breakdown["bayes_auc"], 4),
+            "breakdown": breakdown,
+        }
+    elif config == "auc_parity":
+        result = {
+            "metric": metric,
+            "value": round(eps, 5),
+            "unit": "auc",
+            # 1.0 = exact parity with the reference demo-model twin
+            "vs_baseline": round(eps / breakdown["reference_auc"], 4),
             "breakdown": breakdown,
         }
     else:

@@ -5,3 +5,5 @@ from monolith_tpu.models.multitask import MMoEModule, MMoETask
 from monolith_tpu.models.multislot import MultiSlotModule, MultiSlotTask
 from monolith_tpu.models.dcn import DCNModule, DCNTask
 from monolith_tpu.models.autoint import AutoIntModule, AutoIntTask
+from monolith_tpu.models.movie_ranking import (MovieRankingModule,
+                                                MovieRankingTask)

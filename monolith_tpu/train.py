@@ -40,6 +40,8 @@ ZOO = {
     "mmoe": ("monolith_tpu.models.multitask", "MMoETask"),
     "dcn": ("monolith_tpu.models.dcn", "DCNTask"),
     "autoint": ("monolith_tpu.models.autoint", "AutoIntTask"),
+    "movie_ranking": ("monolith_tpu.models.movie_ranking",
+                      "MovieRankingTask"),
 }
 
 
@@ -75,9 +77,18 @@ def build_data(task, spec: str, fmt: str, batch_size: int,
         fid_cols = {f.name: f.name for f in task.features()}
         src = ParquetSource(spec[len("parquet:"):], fid_columns=fid_cols,
                             label_column="label")
+    elif spec.startswith("movielens:"):
+        # ratings.dat / u.data ingestion (ref markdown/demo/ml_dataset.py);
+        # see examples/movielens/ for the vendored quickstart sample
+        from monolith_tpu.data.movielens import MovieLensRatings
+        names = tuple(f.name for f in task.features())[:2]
+        return MovieLensRatings(path=spec[len("movielens:"):],
+                                batch_size=batch_size, seed=seed,
+                                feature_names=names)
     else:
-        raise SystemExit(f"--data must be synthetic, files:<glob> or "
-                         f"parquet:<path>, got {spec!r}")
+        raise SystemExit(f"--data must be synthetic, files:<glob>, "
+                         f"parquet:<path> or movielens:<ratings file>, "
+                         f"got {spec!r}")
     return BatchedDataset(src, batch_size, lengths)
 
 

@@ -20,6 +20,7 @@ from monolith_tpu.demo import NORTHSTAR_BAND, northstar
 
 
 @pytest.mark.timeout(900)
+@pytest.mark.slow
 def test_northstar_auc_in_band():
     r = northstar()
     lo, hi = NORTHSTAR_BAND

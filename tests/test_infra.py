@@ -164,6 +164,7 @@ class TestDenseOptimizers:
     def test_rmsprop_v2_converges(self):
         assert self._fit(rmsprop_v2(learning_rate=0.1)) < 0.1
 
+    @pytest.mark.slow
     def test_shampoo_matrix_converges(self):
         import jax
         tx = shampoo(learning_rate=0.3, update_preconditioner_every=5)

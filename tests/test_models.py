@@ -1,6 +1,7 @@
 """Model-zoo tasks train end-to-end (FFM parity model, MMoE multitask)."""
 
 import numpy as np
+import pytest
 
 from monolith_tpu.data.synthetic import SyntheticCTR
 from monolith_tpu.embedding.engine import EngineConfig
@@ -90,6 +91,7 @@ class TestMultiSlot:
     """Production-shaped many-slot task (16 tables / 40 slots + DIN seq in
     the bench config; scaled down here)."""
 
+    @pytest.mark.slow
     def test_trains_and_learns(self):
         from monolith_tpu.data.synthetic import SyntheticMultiSlot
         from monolith_tpu.embedding.engine import EngineConfig

@@ -32,6 +32,10 @@ def _free_port() -> int:
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = os.path.join(ROOT, "tests", "multihost_worker.py")
 
+# every test here either spawns 2 gloo worker processes or compiles 8-device
+# shard_map programs: the slow tier (see pytest.ini; run fast tier with -m "not slow")
+pytestmark = pytest.mark.slow
+
 
 def run_workers(nproc, steps, local_devices, mode, ckpt_dir):
     port = _free_port()

@@ -471,6 +471,7 @@ class TestBf16PackedPool:
         ev = tr.evaluate(iter(data), max_steps=10)
         assert ev["auc"] > 0.58, ev
 
+    @pytest.mark.slow
     def test_checkpoint_roundtrip_bf16(self, tmp_path):
         from monolith_tpu.data.synthetic import SyntheticCTR
         from monolith_tpu.embedding.engine import EngineConfig

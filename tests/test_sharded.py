@@ -140,6 +140,7 @@ class TestA2AExchange:
 
 
 class TestShardedBlockDispatch:
+    @pytest.mark.slow
     def test_block_matches_sequential(self):
         """K sharded steps per dispatch (scan inside shard_map) must produce
         identical results to sequential dispatches, for both exchanges."""
