@@ -39,6 +39,43 @@ from monolith_tpu.parallel import ShardedTrainer, make_mesh
 from monolith_tpu.training.trainer import Trainer, TrainerConfig
 
 
+def _collective_spy():
+    """Trace-time spy on XLA collectives: records per-device payload bytes
+    of every all_to_all / all_gather / psum_scatter launched by ONE step
+    (the ref's --enable_alltoall_metrics size surface,
+    distributed_ps_sync.py:416-469) — so a real-slice run reports its ICI
+    traffic with no extra instrumentation."""
+    from unittest import mock
+
+    rec = {"a2a_bytes": 0, "allgather_bytes": 0, "reduce_scatter_bytes": 0,
+           "launches": 0}
+
+    def nbytes(x):
+        try:
+            return int(np.prod(x.shape)) * x.dtype.itemsize
+        except Exception:
+            return 0
+
+    orig = {"a2a": jax.lax.all_to_all, "ag": jax.lax.all_gather,
+            "ps": jax.lax.psum_scatter}
+
+    def spy(kind, key):
+        def f(x, *a, **k):
+            rec[key] += sum(nbytes(v) for v in jax.tree.leaves(x))
+            rec["launches"] += 1
+            return orig[kind](x, *a, **k)
+        return f
+
+    patches = [
+        mock.patch.object(jax.lax, "all_to_all", spy("a2a", "a2a_bytes")),
+        mock.patch.object(jax.lax, "all_gather",
+                          spy("ag", "allgather_bytes")),
+        mock.patch.object(jax.lax, "psum_scatter",
+                          spy("ps", "reduce_scatter_bytes")),
+    ]
+    return rec, patches
+
+
 def run(n_dev, per_dev_batch, steps=24):
     batch = per_dev_batch * n_dev
     task = DeepFMTask(embedding_dim=16, capacity_per_shard=1 << 16,
@@ -53,7 +90,14 @@ def run(n_dev, per_dev_batch, steps=24):
     data = SyntheticCTR(num_users=200_000, num_items=50_000,
                         batch_size=batch, seed=3)
     batches = [data.batch() for _ in range(8)]
-    for fb, b in batches[:4]:  # warm + compile
+    rec, patches = _collective_spy()
+    from contextlib import ExitStack
+    with ExitStack() as st:
+        for p in patches:
+            st.enter_context(p)
+        fb, b = batches[0]
+        out = trainer.train_step(fb, b)  # compile under the spy
+    for fb, b in batches[1:4]:  # warm
         out = trainer.train_step(fb, b)
     jax.block_until_ready(out["loss"])
     t0 = time.perf_counter()
@@ -62,7 +106,14 @@ def run(n_dev, per_dev_batch, steps=24):
         out = trainer.train_step(fb, b)
     jax.block_until_ready(out["loss"])
     dt = (time.perf_counter() - t0) / steps
-    return batch / dt
+    # bytes are per-device per-step, recorded at trace time (static shapes
+    # = exact). The autodiff a2a transpose (grad exchange) is inserted by
+    # JAX internally, not via jax.lax.all_to_all, so it is NOT in the spy
+    # counts — it mirrors the embedding a2a's bytes 1:1.
+    comm = {k: rec[k] for k in ("a2a_bytes", "allgather_bytes",
+                                "reduce_scatter_bytes") if rec[k]}
+    comm["collective_launches"] = rec["launches"]
+    return batch / dt, comm
 
 
 if __name__ == "__main__":
@@ -72,7 +123,7 @@ if __name__ == "__main__":
     out = {"backend": jax.default_backend(), "per_device_batch": per_dev}
     base = None
     for n in sizes:
-        eps = run(n, per_dev)
+        eps, comm = run(n, per_dev)
         if base is None:
             base = eps
         eff = eps / (base * n)
@@ -84,7 +135,8 @@ if __name__ == "__main__":
         # own compute, so per_device_efficiency is the hardware metric).
         out[f"mesh{n}"] = {"examples_per_sec": round(eps, 1),
                            "per_device_efficiency": round(eff, 3),
-                           "total_vs_mesh1": round(eps / base, 3)}
+                           "total_vs_mesh1": round(eps / base, 3),
+                           "per_device_step_comm": comm}
         print(f"mesh={n}: {eps:,.0f} ex/s  per-device eff={eff:.1%}  "
-              f"total vs mesh1={eps / base:.2f}x", flush=True)
+              f"total vs mesh1={eps / base:.2f}x  comm={comm}", flush=True)
     print(json.dumps(out))
