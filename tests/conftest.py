@@ -20,6 +20,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compile cache: the suite's cost is dominated by repeated
+# jit compiles of near-identical step programs; a warm cache cuts a
+# compile-bound test ~3.5x (measured: first train_step 12.9s cold ->
+# 3.6s warm). Safe across versions (the cache key includes them).
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("MT_TEST_COMPILE_CACHE", "/tmp/monolith_tpu_test_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+
 
 import pytest  # noqa: E402
 

@@ -42,6 +42,11 @@ def main():
     import jax
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("MT_TEST_COMPILE_CACHE",
+                       "/tmp/monolith_tpu_test_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
     jax.distributed.initialize(coordinator_address=f"localhost:{port}",
                                num_processes=nproc, process_id=pid)
 

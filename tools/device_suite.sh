@@ -45,4 +45,8 @@ run bench_multislot_f32 900 env MT_BENCH_CONFIG=multislot python bench.py
 run bench_multislot_bf16 900 env MT_BENCH_CONFIG=multislot MT_BENCH_DTYPE=bf16 python bench.py
 run bench_deepfm 900 env MT_BENCH_CONFIG=deepfm python bench.py
 run bench_deepfm_prod 1200 env MT_BENCH_CONFIG=deepfm MT_BENCH_PROD=1 python bench.py
+# quality tail (round-4): north-star AUC on the chip + the reference
+# demo-model head-to-head (its TF twin runs on host CPU regardless)
+run bench_auc 1800 env MT_BENCH_CONFIG=auc python bench.py
+run bench_auc_parity 1200 env MT_BENCH_CONFIG=auc_parity python bench.py
 echo "=== suite done; logs in $OUT ==="
