@@ -101,7 +101,10 @@ def extract_flags(dc_cls, parser: Optional[argparse.ArgumentParser] = None,
     """Register one CLI flag per dataclass field (bool/int/float/str fields;
     inherited fields from dataclass base chains are included — the
     reference's CpuTrainingConfig -> RunnerConfig inheritance pattern)."""
-    parser = parser or argparse.ArgumentParser()
+    # allow_abbrev=False: an unknown flag must never prefix-match a config
+    # field (e.g. the CLI's --mode silently expanding to --model_dir and
+    # training into a directory named after the mode value)
+    parser = parser or argparse.ArgumentParser(allow_abbrev=False)
     for f in dataclasses.fields(dc_cls):
         if f.type in ("bool", bool):
             default = f.default if f.default is not dataclasses.MISSING else False

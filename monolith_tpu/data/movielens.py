@@ -117,6 +117,12 @@ class MovieLensRatings:
 
     def __iter__(self) -> Iterator:
         n = len(self._label)
+        if n < self.batch_size:
+            # epochs=0 would otherwise spin forever yielding nothing
+            raise ValueError(
+                f"split {self.split!r} of {self.path} has {n} ratings — "
+                f"fewer than batch_size={self.batch_size}; lower the batch "
+                f"size or eval_fraction")
         epoch = 0
         while self.epochs == 0 or epoch < self.epochs:
             order = (self._rng.permutation(n)

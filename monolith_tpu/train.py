@@ -81,7 +81,12 @@ def build_data(task, spec: str, fmt: str, batch_size: int,
         # ratings.dat / u.data ingestion (ref markdown/demo/ml_dataset.py);
         # see examples/movielens/ for the vendored quickstart sample
         from monolith_tpu.data.movielens import MovieLensRatings
-        names = tuple(f.name for f in task.features())[:2]
+        names = tuple(f.name for f in task.features())
+        if len(names) != 2:
+            raise SystemExit(
+                f"--data movielens: needs a (user, item) 2-feature task "
+                f"(e.g. movie_ranking); --task {task.name} declares "
+                f"{len(names)} features: {names}")
         return MovieLensRatings(path=spec[len("movielens:"):],
                                 batch_size=batch_size, seed=seed,
                                 feature_names=names)
@@ -95,7 +100,8 @@ def build_data(task, spec: str, fmt: str, batch_size: int,
 def main(argv=None):
     parser = argparse.ArgumentParser(
         prog="monolith_tpu.train",
-        description="Train / evaluate / export a monolith_tpu task")
+        description="Train / evaluate / export a monolith_tpu task",
+        allow_abbrev=False)
     parser.add_argument("--task", default="deepfm")
     parser.add_argument("--task_args", default="{}",
                         help="JSON kwargs for the task dataclass")

@@ -389,6 +389,13 @@ def save_distributed(trainer, directory: str,
     (hash_table_ops.py:591, save_utils.py:512)."""
     from jax.experimental import multihost_utils
 
+    # a step dispatched-but-not-executed would admit ids through its map
+    # callback AFTER store.save() below read the host map, pairing a
+    # pre-step store snapshot with post-step pools — sync first (same
+    # hazard class as evict/spill, see MultiHostTrainer._sync_inflight)
+    if hasattr(trainer, "_sync_inflight"):
+        trainer._sync_inflight()
+
     step = trainer.step
     path = os.path.join(directory, f"ckpt-{step}")
     os.makedirs(_tables_dir(path), exist_ok=True)
@@ -470,6 +477,16 @@ def restore_distributed(trainer, directory: str,
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from monolith_tpu.embedding.host_store import shard_of_batch
+
+    # in-flight steps must land before state is replaced, and any queued
+    # recycled-row zeroing belongs to the PRE-restore mapping: the restored
+    # store may map those rows to live fids again, and the saved pool
+    # already holds zeros for whatever was pending at save time
+    if hasattr(trainer, "_sync_inflight"):
+        trainer._sync_inflight()
+    for pend in getattr(trainer, "_pending_zero", {}).values():
+        for s in pend:
+            pend[s].clear()
 
     if step is None:
         step = latest_step(directory)
