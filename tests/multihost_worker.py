@@ -74,7 +74,8 @@ def main():
     else:
         task = DeepFMTask(embedding_dim=8, capacity_per_shard=4096,
                           hidden=(16, 8), init_scale=0.0,
-                          ttl_seconds=1 if mode == "evictzero" else 0)
+                          ttl_seconds=1 if mode in ("evictzero",
+                                                    "evictsave") else 0)
         data = SyntheticCTR(num_users=100, num_items=60, batch_size=64,
                             seed=1000)
     cfg = TrainerConfig(engine=EngineConfig(num_shards=S, unique_cap=512,
@@ -312,6 +313,44 @@ def main():
             bad += int((np.abs(d[rows]).sum(axis=1) > 0).sum())
         print(f"RESULT {pid} stale={stale} checked={checked} bad={bad} "
               f"pend={pend}", flush=True)
+    elif mode == "evictsave":
+        # save-with-pending-zeros: evict fills the pending-zero queue, then
+        # a distributed save runs BEFORE any step drains it. The saved pool
+        # must hold zeros at the freed rows (save_distributed zeroes the
+        # saved copy), and a restore must clear the queue — otherwise the
+        # next step would zero rows the restored store maps to live fids.
+        from monolith_tpu.training.checkpoint import _shard_data
+        spec = trainer.engine.tables["sparse"]
+        cap = spec.capacity_per_shard
+        for i in range(steps):
+            fb, b = next_local()
+            trainer.train_step(fb, b, ts=i)
+        freed = trainer.evict_expired(expire_before=10 ** 9)["sparse"]
+        fbs = {s: sorted((freed[(freed // cap) == s] % cap).tolist())
+               for s in trainer.local_device_ids}
+        checkpoint.save_distributed(trainer, ckpt_dir)
+        pend = sum(len(p) for p in trainer._pending_zero["sparse"].values())
+        # re-admit the universe so pools hold live data again
+        fb, b = next_local()
+        trainer.train_step(fb, b, ts=100)
+        jax.block_until_ready(
+            jax.tree.leaves(trainer.table_states["sparse"]))
+        step = checkpoint.restore_distributed(trainer, ckpt_dir)
+        pend_after = sum(len(p)
+                         for p in trainer._pending_zero["sparse"].values())
+        leaf = list(trainer.table_states["sparse"].values())[0]
+        saved_nonzero = 0
+        checked = 0
+        for s in trainer.local_device_ids:
+            d = np.asarray(_shard_data(leaf, s))
+            checked += len(fbs[s])
+            saved_nonzero += int(
+                (np.abs(d[fbs[s]]).sum(axis=1) > 0).sum())
+        out = trainer.train_step(*next_local(), ts=200)
+        post = float(np.asarray(out["loss"]))
+        print(f"RESULT {pid} step={step} pend={pend} pend_after={pend_after} "
+              f"checked={checked} saved_nonzero={saved_nonzero} "
+              f"post={post:.5f}", flush=True)
     elif mode == "multislot":
         for i in range(steps):
             fb, b = next_local()

@@ -505,3 +505,18 @@ class TestCapTuning:
             suggest_caps([big], {"t": ["a"]})
         caps = suggest_caps([big], {"t": ["a"]}, compact_wire_limit=None)
         assert caps["t"] >= 70000
+
+
+class TestCliFlagIsolation:
+    def test_unknown_flag_does_not_prefix_match_config_field(self):
+        """--mode must NOT expand to --model_dir via argparse abbreviation
+        (it once trained into a directory literally named after the mode
+        value); unknown flags are ignored by the config bridge."""
+        from monolith_tpu.config import parse_into
+        from monolith_tpu.estimator import RunnerConfig
+
+        cfg = parse_into(RunnerConfig,
+                         ["--mode", "train_and_eval", "--steps", "5"])
+        assert cfg.model_dir != "train_and_eval"
+        cfg2 = parse_into(RunnerConfig, ["--model_dir", "/tmp/x"])
+        assert cfg2.model_dir == "/tmp/x"

@@ -490,3 +490,25 @@ def test_two_process_evict_zeroes_recycled_rows(tmp_path):
         assert checked > 0, f"proc {p}: nothing to check"
         assert bad == 0, f"proc {p}: {bad}/{checked} recycled rows stale"
         assert pend == 0, f"proc {p}: pending-zero queue not drained"
+
+
+@pytest.mark.timeout(600)
+def test_two_process_save_with_pending_zeros(tmp_path):
+    """A distributed checkpoint taken BETWEEN evict and the draining step
+    must still be stale-free: save_distributed zeroes queued rows in the
+    saved copy, and restore clears the queue (the queued rows belong to the
+    pre-restore mapping — draining them after restore would wipe rows the
+    restored store maps to live fids)."""
+    outs = run_workers(2, 6, 2, "evictsave", str(tmp_path))
+    pat = (r"RESULT (\d) step=(\d+) pend=(\d+) pend_after=(\d+) "
+           r"checked=(\d+) saved_nonzero=(\d+) post=([\d.]+)")
+    res = parse_results(outs, pat)
+    for p, m in res.items():
+        pend, pend_after = int(m.group(3)), int(m.group(4))
+        checked, saved_nonzero = int(m.group(5)), int(m.group(6))
+        assert pend > 0, f"proc {p}: nothing was pending at save"
+        assert checked > 0, f"proc {p}: nothing checked"
+        assert saved_nonzero == 0, \
+            f"proc {p}: {saved_nonzero}/{checked} freed rows stale in ckpt"
+        assert pend_after == 0, f"proc {p}: restore left the queue populated"
+        assert float(m.group(7)) < 1.0, m.group(7)
