@@ -33,6 +33,24 @@ if ! timeout 180 python -c "import jax; assert jax.devices()[0].platform in ('tp
 fi
 echo "TPU OK"
 
+# preflight: one tiny real train step end-to-end on the chip (~1 min incl.
+# compile) so a flaky window fails fast here, not 10 min into a bench
+run preflight 240 python - <<'EOF'
+import jax
+from monolith_tpu.data.synthetic import SyntheticCTR
+from monolith_tpu.embedding.engine import EngineConfig
+from monolith_tpu.models.deepfm import DeepFMTask
+from monolith_tpu.training.trainer import Trainer, TrainerConfig
+t = Trainer(DeepFMTask(embedding_dim=8, capacity_per_shard=4096,
+                       hidden=(16, 8)),
+            TrainerConfig(engine=EngineConfig(num_shards=1, unique_cap=512,
+                                              new_cap=512), log_every=0))
+d = SyntheticCTR(num_users=100, num_items=60, batch_size=256, seed=0)
+out = t.train_step(*d.batch())
+jax.block_until_ready(out["loss"])
+print("preflight OK on", jax.devices()[0].platform, float(out["loss"]))
+EOF
+
 run microbench 900 python tools/microbench.py
 run cliff_repro5 900 python tools/cliff_repro5.py
 run cliff_repro6 900 python tools/cliff_repro6.py
