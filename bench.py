@@ -198,8 +198,14 @@ def bench_multislot():
                          table_dtype=jnp.bfloat16 if bf16 else jnp.float32,
                          stochastic_rounding=bf16,
                          dense_dtype=jnp.bfloat16 if bf16 else None)
+    # MT_BENCH_ASYNC=1: 1-step-stale pipelined block (async_optimize) — the
+    # write-back scatter (the serial ~8.4 ms XLA bottleneck at U=49k,
+    # PERF.md) loses its data dependency on the next step's gather, so XLA
+    # can overlap it with fwd/bwd compute inside the scanned block.
+    async_opt = os.environ.get("MT_BENCH_ASYNC", "0") == "1"
     trainer = Trainer(task, TrainerConfig(
-        engine=EngineConfig(num_shards=1, unique_cap=49152, new_cap=49152),
+        engine=EngineConfig(num_shards=1, unique_cap=49152, new_cap=49152,
+                            async_optimize=async_opt),
         log_every=0, metrics_enabled=_metrics_on()))
     data = SyntheticMultiSlot(num_slots=40, vocab_per_slot=100_000,
                               history_length=20, batch_size=batch_size,
@@ -215,6 +221,8 @@ def bench_multislot():
                                      prod_save_dir=_prod_dir())
     metric = ("multislot_bf16_train_examples_per_sec" if bf16
               else "multislot_train_examples_per_sec")
+    if async_opt:
+        metric += "_async"
     return metric, batch_size, eps, breakdown
 
 

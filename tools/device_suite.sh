@@ -61,6 +61,10 @@ if [ "${1:-full}" = "quick" ]; then exit 0; fi
 
 run bench_multislot_f32 900 env MT_BENCH_CONFIG=multislot python bench.py
 run bench_multislot_bf16 900 env MT_BENCH_CONFIG=multislot MT_BENCH_DTYPE=bf16 python bench.py
+# 1-step-stale pipelined block: overlaps the serial write-back scatter
+# (the ~8.4 ms XLA bottleneck at U=49k) with the next step's compute
+run bench_multislot_f32_async 900 env MT_BENCH_CONFIG=multislot MT_BENCH_ASYNC=1 python bench.py
+run bench_multislot_bf16_async 900 env MT_BENCH_CONFIG=multislot MT_BENCH_DTYPE=bf16 MT_BENCH_ASYNC=1 python bench.py
 run bench_deepfm 900 env MT_BENCH_CONFIG=deepfm python bench.py
 run bench_deepfm_prod 1200 env MT_BENCH_CONFIG=deepfm MT_BENCH_PROD=1 python bench.py
 # quality tail (round-4): north-star AUC on the chip + the reference
