@@ -42,6 +42,12 @@ def pallas_scatter_enabled() -> bool:
 
 _NSLOTS = 32  # concurrent row DMAs (per-slot semaphores); measured best
 
+# Row indices are a scalar-prefetch operand and live in SMEM (~1 MB/core
+# on v5e). Above this many rows (256 KB of int32) the call is split into
+# independent chunked kernel launches so SMEM never overflows; production
+# shapes (unique_cap <= 64K) take the single-launch path unchanged.
+_MAX_PREFETCH_ROWS = 1 << 16
+
 
 def _scatter_kernel(rows_ref, values_ref, pool_in_ref, pool_out_ref, sems):
     del pool_in_ref  # aliased with pool_out_ref
@@ -110,6 +116,11 @@ def gather_rows(pool: jnp.ndarray, rows: jnp.ndarray) -> jnp.ndarray:
     ~1 ms at unique_cap 32768). Rows < 0 read pool[0] here; the CALLER
     must mask them to zeros (one fused elementwise select), which
     table.gather_packed does."""
+    n = rows.shape[0]
+    if n > _MAX_PREFETCH_ROWS:
+        outs = [gather_rows(pool, rows[i:i + _MAX_PREFETCH_ROWS])
+                for i in range(0, n, _MAX_PREFETCH_ROWS)]
+        return jnp.concatenate(outs, axis=0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),
@@ -140,6 +151,12 @@ def scatter_rows(pool: jnp.ndarray, rows: jnp.ndarray,
     assert values.dtype == pool.dtype, (values.dtype, pool.dtype)
     assert rows.shape[0] == values.shape[0]
     assert values.shape[1] == pool.shape[1]
+    n = rows.shape[0]
+    if n > _MAX_PREFETCH_ROWS:
+        for i in range(0, n, _MAX_PREFETCH_ROWS):
+            pool = scatter_rows(pool, rows[i:i + _MAX_PREFETCH_ROWS],
+                                values[i:i + _MAX_PREFETCH_ROWS])
+        return pool
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),

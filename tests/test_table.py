@@ -298,3 +298,27 @@ class TestPallasRowDMA:
         np.testing.assert_array_equal(
             np.asarray(jnp.where((rows >= 0)[:, None], g, 0)),
             np.asarray(ref.at[safe].get(mode="fill", fill_value=0)))
+
+    @pytest.mark.skipif(jax.default_backend() == "cpu",
+                        reason="pallas TPU kernels; CPU uses the XLA path")
+    def test_chunked_above_smem_budget(self, monkeypatch):
+        """Indices are a scalar-prefetch (SMEM) operand; above
+        _MAX_PREFETCH_ROWS the call must split into chunked launches with
+        identical results (shrink the threshold so the split runs fast)."""
+        from monolith_tpu.ops import scatter as sc
+        monkeypatch.setattr(sc, "_MAX_PREFETCH_ROWS", 100)
+        rng = np.random.default_rng(1)
+        cap, P, U = 1024, 128, 357  # 4 chunks, ragged tail
+        rows_np = rng.choice(cap, size=U, replace=False).astype(np.int32)
+        rows_np[::7] = -1
+        rows = jnp.asarray(rows_np)
+        values = jnp.asarray(rng.normal(size=(U, P)).astype(np.float32))
+        pool = jnp.asarray(rng.normal(size=(cap, P)).astype(np.float32))
+        safe = jnp.where(rows < 0, cap, rows)
+        ref = pool.at[safe].set(values, mode="drop", unique_indices=True)
+        out = sc.scatter_rows(pool, rows, values)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+        g = sc.gather_rows(out, jnp.maximum(rows, 0))
+        np.testing.assert_array_equal(
+            np.asarray(jnp.where((rows >= 0)[:, None], g, 0)),
+            np.asarray(ref.at[safe].get(mode="fill", fill_value=0)))

@@ -19,6 +19,8 @@ OUT=/tmp/devsuite
 mkdir -p "$OUT"
 cd "$(dirname "$0")/.."
 export JAX_COMPILATION_CACHE_DIR=/tmp/jax_bench_cache
+# `python tools/x.py` puts tools/ (not the repo root) on sys.path
+export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 
 run() {  # run <name> <timeout_s> <cmd...>
   local name=$1 to=$2; shift 2

@@ -102,8 +102,13 @@ def main():
     for rnd in range(2):
         for v in variants:
             dtype, kern = v.split("-")
-            trainer, data = build(dtype, kern == "pallas")
-            r = measure(trainer, data)
+            try:
+                trainer, data = build(dtype, kern == "pallas")
+                r = measure(trainer, data)
+            except Exception as e:  # keep the A/B alive if one cell dies
+                print(f"round{rnd} {v}: FAILED {type(e).__name__}: "
+                      f"{str(e).splitlines()[0][:200]}", flush=True)
+                continue
             results[v].append(r)
             print(f"round{rnd} {v}: host={r[0]:.2f} dev={r[1]:.2f} "
                   f"e2e={r[2]:.2f} h2d={r[3]:.2f} ms/step "
