@@ -26,9 +26,13 @@ value is the MEDIAN across windows (the shared host/chip shows up-to-3x
 co-tenant swings; best-of flattered, median survives). Alongside it the
 JSON carries a breakdown measured in the same process:
   host_pack_ms_per_step  pure host C++ prepare+pack loop (no dispatch)
-  device_ms_per_step     chain re-dispatching pre-packed wires (no pack)
-  e2e_ms_per_step        the real chain (pack + dispatch, overlapped)
-so a round-over-round move can be attributed to host, device, or tunnel.
+  h2d_ms_per_step        blocking wire upload (tunnel/PCIe transfer)
+  device_ms_per_step     chain re-dispatching DEVICE-RESIDENT wires
+                         (pure device compute + dispatch)
+  e2e_ms_per_step        the real staged pipeline (pack + upload of block
+                         k+1 overlapped with device execution of block k —
+                         Trainer._train_blocked's steady state)
+so a round-over-round move can be attributed to host, transfer, or device.
 """
 
 import json
@@ -74,23 +78,40 @@ def _bench_protocol(trainer, batches, batch_size, K, steps_per_run, n_runs,
                                     trainer.step + i, out=wires[i])
     host_ms = (time.perf_counter() - t0) / (host_passes * K) * 1e3
 
+    # h2d-only: blocking upload of one block's wires (the tunnel/PCIe wire
+    # transfer the staged pipeline must hide)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        jax.block_until_ready(jax.device_put(wires))
+    h2d_ms = (time.perf_counter() - t0) / (3 * K) * 1e3
+
     def e2e_window():
+        # steady-state production pattern (Trainer._train_blocked): block
+        # k+1 is packed AND uploaded (stage_block) while block k executes,
+        # so the wire transfer overlaps device compute
+        staged = trainer.stage_block(batches[:K])
         t0 = time.perf_counter()
         for blk in range(steps_per_run // K):
             s = (blk * K) % n_cycle
-            out = trainer.train_step_block(batches[s:s + K])
+            out = trainer.train_step_block(batches[s:s + K], staged=staged)
+            staged = None
+            if blk + 1 < steps_per_run // K:
+                nxt = ((blk + 1) * K) % n_cycle
+                staged = trainer.stage_block(batches[nxt:nxt + K])
         jax.block_until_ready(out["loss"])
         return (time.perf_counter() - t0) / steps_per_run * 1e3
 
+    wires_dev = jax.device_put(wires)  # uploaded once: device cost only
+
     def device_window():
-        # re-dispatch the SAME pre-packed wires: device + dispatch cost only
+        # re-dispatch the SAME device-resident wires: pure device + dispatch
         t0 = time.perf_counter()
         for _ in range(steps_per_run // K):
             (trainer.table_states, trainer.params, trainer.model_state,
              trainer.opt_state, trainer._dev_metrics, losses, _preds, _aux
              ) = trainer._jit_step_block(
                 trainer.table_states, trainer.params, trainer.model_state,
-                trainer.opt_state, trainer._dev_metrics, wires,
+                trainer.opt_state, trainer._dev_metrics, wires_dev,
                 trainer._base_key)
         jax.block_until_ready(losses)
         return (time.perf_counter() - t0) / steps_per_run * 1e3
@@ -114,6 +135,7 @@ def _bench_protocol(trainer, batches, batch_size, K, steps_per_run, n_runs,
     eps = batch_size / headline_ms * 1e3
     breakdown = {
         "host_pack_ms_per_step": round(host_ms, 3),
+        "h2d_ms_per_step": round(h2d_ms, 3),
         "device_ms_per_step": round(_median(dev_ms), 3),
         "e2e_ms_per_step": round(_median(e2e_ms), 3),
         "e2e_windows_ms": [round(x, 2) for x in e2e_ms],

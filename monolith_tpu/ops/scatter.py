@@ -110,12 +110,44 @@ def _gather_kernel(rows_ref, pool_ref, out_ref, sems):
     jax.lax.fori_loop(0, _NSLOTS, drain, 0)
 
 
+def row_dma_supported(dtype, width: int) -> bool:
+    """Whether the row-DMA kernels can move (width,)-rows of this dtype.
+
+    Mosaic (current stack) requires an HBM row slice to be 128 int32
+    lanes — the row byte width must be a multiple of 512. f32 packed rows
+    (128 lanes, 512 B) qualify; 16-bit rows qualify only at width % 256
+    == 0 (run on an int32 view of the same bytes — direct 16-bit
+    single-row slices fail tiling: "slice along dim 0 must be aligned to
+    tiling (8), but is 1"). Unsupported shapes fall back to the XLA
+    scatter/gather, measured comparable at production shapes on current
+    stacks (PERF.md round-4)."""
+    return (width * jnp.dtype(dtype).itemsize) % 512 == 0
+
+
+def _as_int32_rows(a: jnp.ndarray) -> jnp.ndarray:
+    """View a (N, P) 2-byte-dtype array as (N, P/2) int32 without moving
+    data (a DMA copies bytes; dtype is irrelevant)."""
+    n, p = a.shape
+    return jax.lax.bitcast_convert_type(a.reshape(n, p // 2, 2), jnp.int32)
+
+
+def _from_int32_rows(a: jnp.ndarray, dtype) -> jnp.ndarray:
+    n, p2 = a.shape
+    return jax.lax.bitcast_convert_type(a, dtype).reshape(n, p2 * 2)
+
+
 def gather_rows(pool: jnp.ndarray, rows: jnp.ndarray) -> jnp.ndarray:
     """out[i] = pool[rows[i]] via the same pipelined row-DMA scheme as
     scatter_rows (XLA's TPU gather also row-loops serially, ~30 ns/row —
     ~1 ms at unique_cap 32768). Rows < 0 read pool[0] here; the CALLER
     must mask them to zeros (one fused elementwise select), which
-    table.gather_packed does."""
+    table.gather_packed does. Shapes the DMA kernel can't move (see
+    row_dma_supported) take the XLA gather with identical semantics."""
+    if not row_dma_supported(pool.dtype, pool.shape[1]):
+        return pool[jnp.maximum(rows, 0)]
+    if pool.dtype.itemsize == 2:
+        return _from_int32_rows(gather_rows(_as_int32_rows(pool), rows),
+                                pool.dtype)
     n = rows.shape[0]
     if n > _MAX_PREFETCH_ROWS:
         outs = [gather_rows(pool, rows[i:i + _MAX_PREFETCH_ROWS])
@@ -151,6 +183,15 @@ def scatter_rows(pool: jnp.ndarray, rows: jnp.ndarray,
     assert values.dtype == pool.dtype, (values.dtype, pool.dtype)
     assert rows.shape[0] == values.shape[0]
     assert values.shape[1] == pool.shape[1]
+    if not row_dma_supported(pool.dtype, pool.shape[1]):
+        # XLA fallback with identical semantics (rows < 0 dropped)
+        safe = jnp.where(rows < 0, jnp.int32(pool.shape[0]),
+                         rows.astype(jnp.int32))
+        return pool.at[safe].set(values, mode="drop", unique_indices=True)
+    if pool.dtype.itemsize == 2:
+        return _from_int32_rows(
+            scatter_rows(_as_int32_rows(pool), rows, _as_int32_rows(values)),
+            pool.dtype)
     n = rows.shape[0]
     if n > _MAX_PREFETCH_ROWS:
         for i in range(0, n, _MAX_PREFETCH_ROWS):

@@ -364,17 +364,14 @@ class Trainer:
 
         return jax.jit(block_fn, donate_argnums=(0, 1, 2, 3, 4))
 
-    def train_step_block(self, pairs, ts: Optional[int] = None) -> Dict:
-        """Run len(pairs) training steps in ONE device dispatch (see
-        _build_step_block). Requires the fuse_wire path and initialized
-        params. pairs: list of (fid_batch, batch)."""
-        ts = int(time.time()) if ts is None else ts
-        if self._base_key is None:
-            self._base_key = jax.random.PRNGKey(self.config.seed)
+    def _pack_block(self, pairs, ts: int):
+        """Pack K consecutive batches into one stacked [K, W] wire buffer.
+        Mutates the host store (admission, row assignment) exactly like K
+        sequential packs; stepnos are self.step..self.step+K-1, so the
+        result must be dispatched before any other step runs."""
         K = len(pairs)
         layout = self._batch_layout(pairs[0][1])
         assert layout is not None and self.engine.fuse_wire
-        assert self.params is not None, "run one train_step first to init"
         key = (layout, K)
         if self._block_key != key:
             ew = self.engine.wire_words(layout[0][2][0])
@@ -387,12 +384,48 @@ class Trainer:
             _, st = self._pack_full_wire(fid_batch, batch, layout, ts,
                                          self.step + i, out=wires[i])
             stats.append(st)
+        return wires, stats
+
+    def stage_block(self, pairs, ts: Optional[int] = None):
+        """Pack the NEXT block and start its host->device upload now.
+
+        jax.device_put returns immediately with the transfer in flight, so
+        calling this right after dispatching block k overlaps block k+1's
+        wire upload with block k's device execution — on tunnel/PCIe-
+        attached chips the upload is comparable to the compute
+        (PERF.md round-4) and this hides it. Host id->row mapping never
+        depends on device values, so packing ahead is safe; but the staged
+        block bakes in stepnos and admissions, so it MUST be the next
+        thing dispatched (train_step_block asserts this)."""
+        ts = int(time.time()) if ts is None else ts
+        wires, stats = self._pack_block(pairs, ts)
+        return {"wires": jax.device_put(wires), "stats": stats,
+                "base_step": self.step, "K": len(pairs)}
+
+    def train_step_block(self, pairs, ts: Optional[int] = None,
+                         staged=None) -> Dict:
+        """Run len(pairs) training steps in ONE device dispatch (see
+        _build_step_block). Requires the fuse_wire path and initialized
+        params. pairs: list of (fid_batch, batch). staged: the result of
+        stage_block(pairs) — skips packing and uses the pre-uploaded
+        wires."""
+        ts = int(time.time()) if ts is None else ts
+        if self._base_key is None:
+            self._base_key = jax.random.PRNGKey(self.config.seed)
+        assert self.params is not None, "run one train_step first to init"
+        if staged is not None:
+            assert staged["base_step"] == self.step and \
+                staged["K"] == len(pairs), "staged block is not the next " \
+                "dispatch (stage_block must be followed by its own dispatch)"
+            wires, stats = staged["wires"], staged["stats"]
+        else:
+            wires, stats = self._pack_block(pairs, ts)
         self._metrics_init()
         (self.table_states, self.params, self.model_state, self.opt_state,
          self._dev_metrics, losses, preds, auxes) = self._jit_step_block(
             self.table_states, self.params, self.model_state, self.opt_state,
             self._dev_metrics, wires, self._base_key)
-        self.step += K
+        self.step += len(pairs)
         return {"loss": losses, "preds": preds, "stats": stats,
                 "aux": auxes}
 
@@ -625,23 +658,27 @@ class Trainer:
         done = 0
         it = iter(data)
         stop = False
-        while not stop and (steps is None or done < steps):
-            want = K if steps is None else min(K, steps - done)
+
+        def fetch(want):
             pairs = []
             for _ in range(want):
                 try:
                     pairs.append(next(it))
                 except StopIteration:
                     break
-            if not pairs:
-                break
+            return pairs
+
+        pairs = fetch(K if steps is None else min(K, steps))
+        staged = None
+        while pairs:
             blockable = (len(pairs) > 1 and self.params is not None
                          and self._block_eligible(pairs[0][1]))
             if blockable:
-                out = self.train_step_block(pairs)
+                out = self.train_step_block(pairs, staged=staged)
             else:
                 for fb, b in pairs:
                     out = self.train_step(fb, b)
+            staged = None
             done += len(pairs)
             examples += sum(len(next(iter(b.values()))) for _, b in pairs)
             for h in hooks:
@@ -649,8 +686,22 @@ class Trainer:
                     h(self, out)
                 except StopIteration:
                     stop = True
-            if self.config.log_every and (self.step % self.config.log_every
-                                          < len(pairs)):
+            log_now = self.config.log_every and (
+                self.step % self.config.log_every < len(pairs))
+            n_pairs = len(pairs)
+            if stop or (steps is not None and done >= steps):
+                pairs = []
+            else:
+                pairs = fetch(K if steps is None else min(K, steps - done))
+                # lookahead: pack + upload the next block while this one is
+                # still executing on the device (hooks above are host work
+                # that already overlapped). Only a full block that will
+                # dispatch as a block may be staged — the pack bakes in
+                # stepnos and host-store admissions.
+                if (len(pairs) > 1 and self.params is not None
+                        and self._block_eligible(pairs[0][1])):
+                    staged = self.stage_block(pairs)
+            if log_now:
                 self._drain_metrics()
                 dt = time.time() - t0
                 print(f"step {self.step}: loss={self.loss_mean.result():.4f} "

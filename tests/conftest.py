@@ -18,7 +18,12 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# MT_TEST_TPU=1: keep the real device backend so the TPU-only kernel tests
+# (Pallas row-DMA bit-identity) run on the chip — use with a targeted
+# selection (e.g. -k PallasRowDMA); the 8-device sharding tests need the
+# virtual CPU mesh and will not fit one chip.
+if os.environ.get("MT_TEST_TPU", "0") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 # Persistent XLA compile cache: the suite's cost is dominated by repeated
 # jit compiles of near-identical step programs; a warm cache cuts a

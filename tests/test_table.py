@@ -299,6 +299,55 @@ class TestPallasRowDMA:
             np.asarray(jnp.where((rows >= 0)[:, None], g, 0)),
             np.asarray(ref.at[safe].get(mode="fill", fill_value=0)))
 
+    def test_int32_view_helpers_match_numpy_byte_view(self):
+        """The bf16 kernel path runs on an int32 view of the pool bytes
+        (Mosaic rejects single-row HBM slices of 16-bit arrays). The view
+        must be exactly numpy's byte-level view, both directions."""
+        from monolith_tpu.ops.scatter import _as_int32_rows, _from_int32_rows
+        rng = np.random.default_rng(2)
+        x_np = rng.normal(size=(16, 32)).astype(np.float32)
+        x = jnp.asarray(x_np, dtype=jnp.bfloat16)
+        v = _as_int32_rows(x)
+        assert v.shape == (16, 16) and v.dtype == jnp.int32
+        np.testing.assert_array_equal(
+            np.asarray(v),
+            np.asarray(x).view(np.int32))
+        back = _from_int32_rows(v, jnp.bfloat16)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+    def test_row_dma_supported_predicate(self):
+        from monolith_tpu.ops.scatter import row_dma_supported
+        assert row_dma_supported(jnp.float32, 128)       # 512 B rows
+        assert row_dma_supported(jnp.bfloat16, 256)      # int32 view: 128
+        assert not row_dma_supported(jnp.bfloat16, 128)  # 256 B rows
+        assert not row_dma_supported(jnp.float32, 64)
+
+    @pytest.mark.skipif(jax.default_backend() == "cpu",
+                        reason="pallas TPU kernels; CPU uses the XLA path")
+    @pytest.mark.parametrize("P", [128, 256])
+    def test_scatter_gather_bf16_match_xla(self, P):
+        """bf16 rows of 512-byte multiples take the int32-view kernel
+        (direct 16-bit row slices fail Mosaic tiling, PERF.md round-4);
+        narrower bf16 rows fall back to the XLA path inside
+        scatter_rows/gather_rows — both must be bit-exact."""
+        from monolith_tpu.ops.scatter import gather_rows, scatter_rows
+        rng = np.random.default_rng(3)
+        cap, U = 4096, 512
+        rows_np = rng.choice(cap, size=U, replace=False).astype(np.int32)
+        rows_np[::5] = -1
+        rows = jnp.asarray(rows_np)
+        values = jnp.asarray(rng.normal(size=(U, P)), dtype=jnp.bfloat16)
+        pool = jnp.asarray(rng.normal(size=(cap, P)), dtype=jnp.bfloat16)
+        safe = jnp.where(rows < 0, cap, rows)
+        ref = pool.at[safe].set(values, mode="drop", unique_indices=True)
+        out = scatter_rows(pool, rows, values)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+        g = gather_rows(out, jnp.maximum(rows, 0))
+        np.testing.assert_array_equal(
+            np.asarray(jnp.where((rows >= 0)[:, None], g,
+                                 jnp.zeros((), jnp.bfloat16))),
+            np.asarray(ref.at[safe].get(mode="fill", fill_value=0)))
+
     @pytest.mark.skipif(jax.default_backend() == "cpu",
                         reason="pallas TPU kernels; CPU uses the XLA path")
     def test_chunked_above_smem_budget(self, monkeypatch):
