@@ -25,7 +25,7 @@ from __future__ import annotations
 import json
 import os
 import time
-from typing import Optional
+from typing import Dict, Optional
 
 import jax
 import numpy as np
@@ -108,13 +108,22 @@ def save(trainer, directory: str, evict_before_save: bool = False,
             "tables": {}}
     if not dense_only:
         for tname, spec in trainer.engine.tables.items():
-            state = jax.device_get(trainer.table_states[tname])
-            num_shards = jax.tree.leaves(state)[0].shape[0]
+            dev_state = trainer.table_states[tname]
+            num_shards = jax.tree.leaves(dev_state)[0].shape[0]
             meta["tables"][tname] = {"shards": num_shards, "dim": spec.dim}
             for s in range(num_shards):
                 store = trainer.engine.stores[tname][s]
                 fids, rows, tss, counts = store.save()
-                shard = jax.tree.map(lambda x: x[s], state)
+                # Live-prefix fetch: rows come from a dense free-list /
+                # fresh counter, so every live row sits below the
+                # high-water mark — slice on device and read back only
+                # that prefix (the reference dumps only live entries,
+                # embedding_hash_table.proto EntryDump; a full-capacity
+                # readback of a mostly-empty pool costs minutes on
+                # tunnel-attached chips, PERF.md round-4).
+                hw = int(rows.max()) + 1 if len(rows) else 0
+                shard = jax.device_get(
+                    jax.tree.map(lambda x: x[s, :hw], dev_state))
                 arrays = {"pool": table_lib.params_np(spec, shard),
                           "fids": fids, "rows": rows, "tss": tss,
                           "counts": counts}
@@ -151,17 +160,24 @@ def save_delta(trainer, directory: str, since_ts: int,
     meta = {"step": step, "since_ts": int(since_ts), "base_step": base_step,
             "ts": int(time.time()), "tables": {}}
     for tname, spec in trainer.engine.tables.items():
-        state = jax.device_get(trainer.table_states[tname])
-        num_shards = jax.tree.leaves(state)[0].shape[0]
+        dev_state = trainer.table_states[tname]
+        num_shards = jax.tree.leaves(dev_state)[0].shape[0]
         meta["tables"][tname] = {"shards": num_shards, "dim": spec.dim}
         for s in range(num_shards):
             store = trainer.engine.stores[tname][s]
             fids, rows, tss, counts = store.save()
             sel = tss >= np.uint32(since_ts)
             fids, rows, tss, counts = fids[sel], rows[sel], tss[sel], counts[sel]
-            pool = table_lib.params_np(spec, jax.tree.map(lambda x: x[s], state))
-            values = (pool[rows] if len(rows)
-                      else np.zeros((0, spec.dim), np.float32))
+            if len(rows):
+                # gather ONLY the delta rows on device, read back that
+                # (n, dim) slice — never the full pool
+                import jax.numpy as jnp
+                ridx = jnp.asarray(rows)
+                shard_rows = jax.tree.map(lambda x: x[s][ridx], dev_state)
+                values = table_lib.params_np(spec,
+                                             jax.device_get(shard_rows))
+            else:
+                values = np.zeros((0, spec.dim), np.float32)
             np.savez(os.path.join(path, f"{tname}-s{s}.npz"),
                      fids=fids, tss=tss, counts=counts, values=values)
     with open(os.path.join(path, "meta.json"), "w") as f:
@@ -246,12 +262,14 @@ def restore(trainer, directory: str, step: Optional[int] = None) -> int:
     if not meta.get("dense_only"):
         for tname, tmeta in meta["tables"].items():
             spec = trainer.engine.tables[tname]
-            state = jax.device_get(trainer.table_states[tname])
+            state = trainer.table_states[tname]  # shapes/mode only — no d2h
             cur_shards = jax.tree.leaves(state)[0].shape[0]
             if tmeta["shards"] != cur_shards:
                 _restore_resharded(trainer, tname, spec, path,
                                    tmeta["shards"], cur_shards, state)
                 continue
+            cap = spec.capacity_per_shard
+            init_of = _slot_init_values(spec)
             pools, slot_stacks = [], {}
             for s in range(tmeta["shards"]):
                 z = np.load(os.path.join(_tables_dir(path), f"{tname}-s{s}.npz"))
@@ -261,10 +279,14 @@ def restore(trainer, directory: str, step: Optional[int] = None) -> int:
                 if os.path.exists(fpath):
                     with open(fpath, "rb") as f:
                         store.filter_restore(f.read())
-                pools.append(z["pool"])
+                # live-prefix checkpoints store pool[:high_water]; pad back
+                # to capacity (params zero like fresh alloc, slots at their
+                # optimizer init values like create_state)
+                pools.append(_pad_rows(z["pool"], cap, 0.0))
                 for k in z.files:
                     if k.startswith("slot:"):
-                        slot_stacks.setdefault(k[5:], []).append(z[k])
+                        slot_stacks.setdefault(k[5:], []).append(
+                            _pad_rows(z[k], cap, init_of.get(k[5:], 0.0)))
             new_state = table_lib.state_from_np(
                 spec, np.stack(pools),
                 {k: np.stack(v) for k, v in slot_stacks.items()},
@@ -354,6 +376,24 @@ def _restore_resharded(trainer, tname, spec, path, old_shards: int,
     new_state = table_lib.state_from_np(spec, pools, slot_out,
                                         packed="data" in state)
     trainer.table_states[tname] = _place_like_trainer(trainer, new_state)
+
+
+def _pad_rows(arr: np.ndarray, cap: int, fill: float) -> np.ndarray:
+    """Pad a live-prefix array [h, ...] back to [cap, ...] with `fill`."""
+    if arr.shape[0] >= cap:
+        return arr
+    full = np.full((cap,) + arr.shape[1:], fill, dtype=arr.dtype)
+    full[:arr.shape[0]] = arr
+    return full
+
+
+def _slot_init_values(spec) -> Dict[str, float]:
+    """{'seg{i}/{name}': init_value} for every optimizer slot."""
+    out = {}
+    for i, seg in enumerate(spec.segments):
+        for name, (_, init_value) in seg.optimizer.slot_spec(seg.dim).items():
+            out[f"seg{i}/{name}"] = init_value
+    return out
 
 
 def _shard_data(arr, s: int) -> np.ndarray:

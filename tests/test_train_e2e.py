@@ -83,6 +83,28 @@ class TestCheckpoint:
         np.testing.assert_allclose(eval_after["auc"], eval_before["auc"], atol=1e-6)
         np.testing.assert_allclose(eval_after["loss"], eval_before["loss"], rtol=1e-5)
 
+    def test_save_is_live_prefix_not_full_capacity(self, tmp_path):
+        """Table files store pool[:high_water], not the full capacity pool
+        (the reference dumps only live entries, EntryDump; a full-capacity
+        readback costs minutes over tunnel/PCIe, PERF.md round-4). Restore
+        pads back: params zero, slots at optimizer init — bit-identical
+        training afterwards is covered by the roundtrip test above."""
+        data = SyntheticCTR(num_users=50, num_items=30, batch_size=64, seed=8)
+        trainer = small_trainer()
+        trainer.train(iter(data), steps=5)
+        path = checkpoint.save(trainer, str(tmp_path))
+        spec = trainer.engine.tables["sparse"]
+        store = trainer.engine.stores["sparse"][0]
+        _, rows, _, _ = store.save()
+        hw = int(rows.max()) + 1
+        assert hw < spec.capacity_per_shard  # test is vacuous otherwise
+        import os as _os
+        z = np.load(_os.path.join(path, "tables", "sparse-s0.npz"))
+        assert z["pool"].shape[0] == hw
+        for k in z.files:
+            if k.startswith("slot:"):
+                assert z[k].shape[0] == hw
+
     def test_restore_resharded_1_to_8(self, tmp_path):
         """Save from a 1-shard trainer, restore into an 8-shard sharded
         trainer: every entry must be re-routed to its hash shard with exact
