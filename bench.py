@@ -84,6 +84,12 @@ def _bench_protocol(trainer, batches, batch_size, K, steps_per_run, n_runs,
     for _ in range(3):
         jax.block_until_ready(jax.device_put(wires))
     h2d_ms = (time.perf_counter() - t0) / (3 * K) * 1e3
+    # wire size + implied transfer bandwidth (VERDICT r4 #2): makes
+    # round-over-round h2d deltas self-attributing — "tunnel got slower"
+    # (bytes flat, MB/s down) vs "wire got bigger" (bytes up). Reference
+    # anchor: --enable_alltoall_metrics size histograms
+    # (distributed_ps_sync.py:416-469).
+    wire_bytes = wires.nbytes // K
 
     def e2e_window():
         # steady-state production pattern (Trainer._train_blocked): block
@@ -136,6 +142,8 @@ def _bench_protocol(trainer, batches, batch_size, K, steps_per_run, n_runs,
     breakdown = {
         "host_pack_ms_per_step": round(host_ms, 3),
         "h2d_ms_per_step": round(h2d_ms, 3),
+        "wire_bytes_per_step": int(wire_bytes),
+        "h2d_eff_MB_per_s": round(wire_bytes / 1e6 / (h2d_ms / 1e3), 1),
         "device_ms_per_step": round(_median(dev_ms), 3),
         "e2e_ms_per_step": round(_median(e2e_ms), 3),
         "e2e_windows_ms": [round(x, 2) for x in e2e_ms],

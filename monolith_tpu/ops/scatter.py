@@ -120,8 +120,12 @@ def row_dma_supported(dtype, width: int) -> bool:
     single-row slices fail tiling: "slice along dim 0 must be aligned to
     tiling (8), but is 1"). Unsupported shapes fall back to the XLA
     scatter/gather, measured comparable at production shapes on current
-    stacks (PERF.md round-4)."""
-    return (width * jnp.dtype(dtype).itemsize) % 512 == 0
+    stacks (PERF.md round-4). Only 2- and 4-byte dtypes are admitted:
+    gather_rows/scatter_rows remap itemsize==2 through the int32 view but
+    would feed a 1-byte dtype to the DMA kernel directly, hitting the same
+    single-row tiling failure (ADVICE r4)."""
+    itemsize = jnp.dtype(dtype).itemsize
+    return itemsize in (2, 4) and (width * itemsize) % 512 == 0
 
 
 def _as_int32_rows(a: jnp.ndarray) -> jnp.ndarray:

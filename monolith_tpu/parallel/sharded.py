@@ -278,14 +278,14 @@ class ShardedTrainer(Trainer):
     def _block_eligible(self, batch) -> bool:
         return True  # no wire-layout constraint in sharded mode
 
-    def train_step_block(self, pairs, ts: Optional[int] = None):
-        """Run len(pairs) sharded steps in ONE dispatch (see
-        _build_step_block_sharded)."""
-        ts = int(time.time()) if ts is None else ts
-        if self._base_key is None:
-            self._base_key = jax.random.PRNGKey(self.config.seed)
-        assert self.params is not None, "run one train_step first to init"
-        K = len(pairs)
+    def _stage_capable(self) -> bool:
+        return True
+
+    def _pack_block_sharded(self, pairs, ts: int):
+        """Host-side prep of a K-step block: per-step shard bucketing
+        (mutates the host stores exactly like K sequential preps — the
+        result must be the next dispatch) + K-stacking. Returns
+        (template, inputs_k, batch_k, stats) as host numpy."""
         a2a = self.config.engine.exchange == "a2a"
         inputs_list, stats = [], []
         for fb, b in pairs:
@@ -295,10 +295,53 @@ class ShardedTrainer(Trainer):
                 inputs, st = self.engine.prepare_batch(fb, ts=ts)
             inputs_list.append(inputs)
             stats.append(st)
-        self._input_template = inputs_list[0]
         inputs_k = jax.tree.map(lambda *xs: np.stack(xs), *inputs_list)
         batch_k = {k: np.stack([b[k] for _, b in pairs])
                    for k in pairs[0][1]}
+        return inputs_list[0], inputs_k, batch_k, stats
+
+    def stage_block(self, pairs, ts: Optional[int] = None):
+        """Pack the NEXT block and start its (sharded) host->device upload.
+
+        jax.device_put with the block in_specs' NamedSharding returns with
+        the transfer in flight, giving the same upload/compute overlap as
+        the single-shard wire staging (trainer.py stage_block). The pack
+        bakes in stepnos and host-store admissions, so the staged block
+        MUST be the next dispatch (train_step_block asserts this)."""
+        ts = int(time.time()) if ts is None else ts
+        template, inputs_k, batch_k, stats = self._pack_block_sharded(
+            pairs, ts)
+        shard = NamedSharding(self.mesh, P(None, self.axis))
+        inputs_k = jax.tree.map(
+            lambda x: jax.device_put(x, shard), inputs_k,
+            is_leaf=lambda x: isinstance(x, np.ndarray))
+        batch_k = {k: jax.device_put(v, shard) for k, v in batch_k.items()}
+        return {"template": template, "inputs_k": inputs_k,
+                "batch_k": batch_k, "stats": stats,
+                "base_step": self.step, "K": len(pairs)}
+
+    def train_step_block(self, pairs, ts: Optional[int] = None,
+                         staged=None):
+        """Run len(pairs) sharded steps in ONE dispatch (see
+        _build_step_block_sharded). staged: the result of
+        stage_block(pairs) — skips host prep and uses the pre-uploaded
+        stacked inputs."""
+        ts = int(time.time()) if ts is None else ts
+        if self._base_key is None:
+            self._base_key = jax.random.PRNGKey(self.config.seed)
+        assert self.params is not None, "run one train_step first to init"
+        K = len(pairs)
+        if staged is not None:
+            assert staged["base_step"] == self.step and staged["K"] == K, \
+                "staged block is not the next dispatch (stage_block must " \
+                "be followed by its own dispatch)"
+            template, inputs_k, batch_k, stats = (
+                staged["template"], staged["inputs_k"], staged["batch_k"],
+                staged["stats"])
+        else:
+            template, inputs_k, batch_k, stats = self._pack_block_sharded(
+                pairs, ts)
+        self._input_template = template
         if self._sharded_block_K != K:
             self._jit_step_block = self._build_step_block_sharded(K)
             self._sharded_block_K = K

@@ -396,14 +396,19 @@ def _slot_init_values(spec) -> Dict[str, float]:
     return out
 
 
-def _shard_data(arr, s: int) -> np.ndarray:
+def _shard_data(arr, s: int, hw: Optional[int] = None) -> np.ndarray:
     """Shard s of a globally-sharded array (leading axis = shard axis);
-    only valid for shards addressable from this process."""
+    only valid for shards addressable from this process. hw: read back only
+    the live prefix [:hw] of the row axis (sliced on device, so the d2h
+    transfer is O(live rows), not O(capacity))."""
     for sh in arr.addressable_shards:
         idx0 = sh.index[0]
         start = idx0.start if idx0.start is not None else 0
         if start == s:
-            return np.asarray(sh.data)[0]
+            data = sh.data
+            if hw is not None:
+                data = data[:, :hw]
+            return np.asarray(data)[0]
     raise ValueError(f"shard {s} is not addressable from this process")
 
 
@@ -470,16 +475,24 @@ def save_distributed(trainer, directory: str,
         for s in trainer.local_device_ids:
             store = trainer.engine.stores[tname][s]
             fids, rows, tss, counts = store.save()
-            shard = jax.tree.map(lambda x: _shard_data(x, s), state)
+            # live-prefix readback, matching single-host save(): rows come
+            # from a dense free-list, so every live row sits below the
+            # high-water mark — slice on device, read back O(live rows)
+            hw = int(rows.max()) + 1 if len(rows) else 0
+            shard = jax.tree.map(lambda x: _shard_data(x, s, hw), state)
             # rows freed by evict/spill whose deferred in-step zeroing has
             # not drained yet (MultiHostTrainer._pending_zero) still hold
             # the evicted ids' content on device — zero them in the SAVED
-            # copy so a restore never resurrects stale state
+            # copy so a restore never resurrects stale state (pending rows
+            # at/above the high-water mark are simply not saved; restore
+            # pads them back with zeros/init values)
             pend = getattr(trainer, "_pending_zero", {}).get(tname, {})
             if pend.get(s):
                 zr = np.fromiter(pend[s], dtype=np.int64)
-                shard = jax.tree.map(
-                    lambda x: _zeroed_rows(x, zr), shard)
+                zr = zr[zr < hw]
+                if len(zr):
+                    shard = jax.tree.map(
+                        lambda x: _zeroed_rows(x, zr), shard)
             arrays = {"pool": table_lib.params_np(spec, shard),
                       "fids": fids, "rows": rows, "tss": tss,
                       "counts": counts}
@@ -569,7 +582,20 @@ def restore_distributed(trainer, directory: str,
                 if os.path.exists(fpath):
                     with open(fpath, "rb") as f:
                         store.filter_restore(f.read())
-                local_states[s] = {k: z[k] for k in z.files}
+                # checkpoints (single-host save AND save_distributed) store
+                # the live prefix pool[:high_water]; pad back to capacity
+                # (ADVICE r4 high: restoring a live-prefix file unpadded
+                # built tables with capacity == high-water mark)
+                init_of = _slot_init_values(spec)
+                st = {}
+                for k in z.files:
+                    if k == "pool":
+                        st[k] = _pad_rows(z[k], cap, 0.0)
+                    elif k.startswith("slot:"):
+                        st[k] = _pad_rows(z[k], cap, init_of.get(k[5:], 0.0))
+                    else:
+                        st[k] = z[k]
+                local_states[s] = st
         else:
             # reshard: route every old entry to its new shard; keep local
             fids_l, tss_l, counts_l, vals_l = [], [], [], []

@@ -433,6 +433,18 @@ class Trainer:
         """Whether train() may use K-steps-per-dispatch blocks at all."""
         return self.engine.fuse_wire
 
+    def _stage_capable(self) -> bool:
+        """Whether this trainer implements stage_block() (pack + start the
+        host->device upload of the NEXT block while the current one runs).
+
+        Explicit contract for _train_blocked's lookahead: a subclass that
+        overrides train_step_block MUST either implement its own
+        stage_block/_stage_capable pair or inherit this and return the
+        right answer — the round-4 regression (sharded trainers inheriting
+        the single-shard stage_block) is exactly what this hook prevents.
+        Every train_step_block override must accept staged=None."""
+        return self.engine.fuse_wire
+
     def _block_eligible(self, batch) -> bool:
         """Whether this batch's dtype layout supports the block path."""
         return self.engine.fuse_wire and self._batch_layout(batch) is not None
@@ -688,7 +700,6 @@ class Trainer:
                     stop = True
             log_now = self.config.log_every and (
                 self.step % self.config.log_every < len(pairs))
-            n_pairs = len(pairs)
             if stop or (steps is not None and done >= steps):
                 pairs = []
             else:
@@ -697,9 +708,11 @@ class Trainer:
                 # still executing on the device (hooks above are host work
                 # that already overlapped). Only a full block that will
                 # dispatch as a block may be staged — the pack bakes in
-                # stepnos and host-store admissions.
+                # stepnos and host-store admissions. _stage_capable gates
+                # trainers that implement staging (see its docstring).
                 if (len(pairs) > 1 and self.params is not None
-                        and self._block_eligible(pairs[0][1])):
+                        and self._block_eligible(pairs[0][1])
+                        and self._stage_capable()):
                     staged = self.stage_block(pairs)
             if log_now:
                 self._drain_metrics()

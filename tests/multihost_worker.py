@@ -338,14 +338,28 @@ def main():
         step = checkpoint.restore_distributed(trainer, ckpt_dir)
         pend_after = sum(len(p)
                          for p in trainer._pending_zero["sparse"].values())
-        leaf = list(trainer.table_states["sparse"].values())[0]
+        # freed rows must carry NO state from the evicted ids: params
+        # exactly zero, optimizer slots exactly their fresh-create init
+        # values (live-prefix checkpoints don't store freed rows at all;
+        # restore pads them back to create_state semantics — slot init,
+        # not whole-row zeros)
+        from monolith_tpu.embedding import table as table_lib
+        from monolith_tpu.training.checkpoint import _slot_init_values
+        spec_t = trainer.engine.tables["sparse"]
+        init_of = _slot_init_values(spec_t)
         saved_nonzero = 0
         checked = 0
+        state_t = trainer.table_states["sparse"]
         for s in trainer.local_device_ids:
-            d = np.asarray(_shard_data(leaf, s))
-            checked += len(fbs[s])
-            saved_nonzero += int(
-                (np.abs(d[fbs[s]]).sum(axis=1) > 0).sum())
+            sh = jax.tree.map(lambda x: _shard_data(x, s), state_t)
+            rows = fbs[s]
+            checked += len(rows)
+            bad_rows = (
+                np.abs(table_lib.params_np(spec_t, sh)[rows]).sum(axis=1) > 0)
+            for name, arr in table_lib.slot_items_np(spec_t, sh):
+                bad_rows |= (np.abs(arr[rows] - init_of.get(name, 0.0))
+                             .sum(axis=1) > 0)
+            saved_nonzero += int(bad_rows.sum())
         out = trainer.train_step(*next_local(), ts=200)
         post = float(np.asarray(out["loss"]))
         print(f"RESULT {pid} step={step} pend={pend} pend_after={pend_after} "

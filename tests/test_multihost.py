@@ -560,3 +560,93 @@ def test_multihost_async_optimize_block_no_lost_updates():
     assert moved_async < 2.0 * moved_sync, (moved_async, moved_sync)
     # still learns on the same stream
     assert l_async[-1] < l_async[0] + 0.05, l_async
+
+
+def test_live_prefix_checkpoint_into_distributed_restore(tmp_path):
+    """ADVICE r4 (high): checkpoints store pool[:high_water] (live-prefix);
+    restore_distributed's same-shard-count path must pad back to capacity
+    instead of building tables with capacity == high-water mark. Covers the
+    documented "works from single-host save" path (ShardedTrainer.save ->
+    MultiHostTrainer restore) AND the save_distributed -> restore_distributed
+    roundtrip (save_distributed now also writes live-prefix, ADVICE r4 low)."""
+    import glob
+
+    import jax
+
+    from monolith_tpu.data.synthetic import SyntheticCTR
+    from monolith_tpu.embedding.engine import EngineConfig
+    from monolith_tpu.models.deepfm import DeepFMTask
+    from monolith_tpu.parallel.mesh import make_mesh
+    from monolith_tpu.parallel.multihost import MultiHostTrainer
+    from monolith_tpu.parallel.sharded import ShardedTrainer
+    from monolith_tpu.training import checkpoint
+    from monolith_tpu.training.trainer import TrainerConfig
+
+    cap = 1024
+
+    def make_mh():
+        task = DeepFMTask(embedding_dim=8, capacity_per_shard=cap,
+                          hidden=(16,), init_scale=0.0)
+        return MultiHostTrainer(task, TrainerConfig(
+            engine=EngineConfig(num_shards=8, unique_cap=128, new_cap=128,
+                                bucket_cap=64), log_every=0, seed=5))
+
+    data = SyntheticCTR(num_users=60, num_items=40, batch_size=64, seed=5)
+    it = iter(data)
+
+    # --- path 1: single-host (ShardedTrainer) live-prefix save ---------
+    task = DeepFMTask(embedding_dim=8, capacity_per_shard=cap,
+                      hidden=(16,), init_scale=0.0)
+    src = ShardedTrainer(task, TrainerConfig(
+        engine=EngineConfig(num_shards=8, unique_cap=128, new_cap=128),
+        log_every=0, seed=5), make_mesh(8))
+    for _ in range(4):
+        src.train_step(*next(it), ts=1)
+    p1 = checkpoint.save(src, str(tmp_path / "single"))
+    # the files must actually BE live-prefix (smaller than capacity),
+    # otherwise this test stops covering the pad path
+    pools = [np.load(f)["pool"] for f in
+             glob.glob(os.path.join(p1, "tables", "*.npz"))]
+    assert all(p.shape[0] < cap for p in pools), \
+        [p.shape for p in pools]
+
+    dst = make_mh()
+    dst.train_step(*next(iter(SyntheticCTR(num_users=60, num_items=40,
+                                           batch_size=64, seed=99))), ts=1)
+    checkpoint.restore_distributed(dst, str(tmp_path / "single"))
+    for tname in src.engine.tables:
+        for leaf_a, leaf_b in zip(
+                jax.tree.leaves(jax.device_get(src.table_states[tname])),
+                jax.tree.leaves(jax.device_get(dst.table_states[tname]))):
+            assert leaf_a.shape == leaf_b.shape, (leaf_a.shape, leaf_b.shape)
+            np.testing.assert_allclose(
+                np.asarray(leaf_a, np.float32),
+                np.asarray(leaf_b, np.float32), rtol=1e-6)
+
+    # --- path 2: save_distributed live-prefix roundtrip ----------------
+    mh = make_mh()
+    it2 = iter(SyntheticCTR(num_users=60, num_items=40, batch_size=64,
+                            seed=7))
+    for i in range(4):
+        mh.train_step(*next(it2), ts=1)
+    p2 = checkpoint.save_distributed(mh, str(tmp_path / "dist"))
+    pools = [np.load(f)["pool"] for f in
+             glob.glob(os.path.join(p2, "tables", "*.npz"))]
+    assert all(p.shape[0] < cap for p in pools), \
+        [p.shape for p in pools]
+
+    mh2 = make_mh()
+    mh2.train_step(*next(iter(SyntheticCTR(num_users=60, num_items=40,
+                                           batch_size=64, seed=98))), ts=1)
+    checkpoint.restore_distributed(mh2, str(tmp_path / "dist"))
+    for tname in mh.engine.tables:
+        for leaf_a, leaf_b in zip(
+                jax.tree.leaves(jax.device_get(mh.table_states[tname])),
+                jax.tree.leaves(jax.device_get(mh2.table_states[tname]))):
+            assert leaf_a.shape == leaf_b.shape
+            np.testing.assert_allclose(
+                np.asarray(leaf_a, np.float32),
+                np.asarray(leaf_b, np.float32), rtol=1e-6)
+    # training continues from the restored state without error
+    out = mh2.train_step(*next(it2), ts=2)
+    assert np.isfinite(float(np.asarray(out["loss"])))
