@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import hashlib
+import warnings
 from typing import Dict, List, Sequence, Tuple
 
 from monolith_tpu.embedding.spec import TableSpec
@@ -38,9 +39,17 @@ def merge_table_specs(specs: Sequence[TableSpec],
 
     `max_group_bytes` > 0 caps each merged pool's physical size (padded
     row bytes x summed capacity): members are first-fit binned so no
-    merged pool exceeds the cap. Use to keep f32 pools under the Pallas
-    DMA memory cliff (~2 GB, PERF.md) while still collapsing dozens of
-    launches to a handful; 0 merges without limit."""
+    merged pool exceeds the cap; 0 merges without limit.
+
+    History of the flag (PERF.md "Pallas-kernel memory-pressure cliff"):
+    it was added as an escape hatch for a >2 GB Pallas row-DMA cliff seen
+    in the round-2 device window. The round-4 device window resolved the
+    decision tree: the cliff does NOT reproduce on current stacks
+    (cliff_repro5: no cliff to 2 GB), and binning a ~2.5 GB pool into
+    exactly TWO ~1.25 GB segments is itself a measured pathology
+    (cliff_repro6: 36.9 ms/step vs 2.96 ms as one segment or 3.02 ms as
+    four). Binning therefore exists for CAPACITY reasons only; a
+    2-3-segment split in the GB band is warned against below."""
     groups: Dict[str, List[TableSpec]] = {}
     for spec in specs:
         groups.setdefault(_config_key(spec), []).append(spec)
@@ -71,6 +80,24 @@ def merge_table_specs(specs: Sequence[TableSpec],
                 else:
                     bins.append([m])
                     sizes.append(b)
+            # Measured pathology guard (VERDICT r4 #5 / cliff_repro6,
+            # PERF.md round-4 device window): a total-GB-scale pool split
+            # into exactly 2-3 ~GB segments ran 12x slower than the same
+            # bytes as ONE segment or FOUR segments (36.9 ms vs
+            # 2.96/3.02 ms per step). Warn so a user binning for capacity
+            # doesn't silently land on the slow configuration.
+            if (2 <= len(bins) <= 3
+                    and max(sizes) >= (1 << 30)):
+                warnings.warn(
+                    f"merge_max_bytes={max_group_bytes} bins "
+                    f"{len(members)} tables into {len(bins)} segments of "
+                    f"{[round(s / (1 << 30), 2) for s in sizes]} GiB; "
+                    "2-3 GB-scale segments are a measured slow "
+                    "configuration on TPU (cliff_repro6: 36.9 ms/step vs "
+                    "2.96 ms unsegmented, PERF.md round-4). Prefer "
+                    "merge_max_bytes=0 (one segment), a cap small enough "
+                    "for >=4 segments, or a bf16 pool (halves bytes).",
+                    stacklevel=2)
         for gi, group in enumerate(bins):
             if len(group) == 1 and len(bins) > 1:
                 merged.append(group[0])

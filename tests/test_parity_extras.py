@@ -47,6 +47,44 @@ class TestMergeTables:
         merged, _, mapping = merge_table_specs(specs, [])
         assert len(merged) == 2 and mapping["a"] != mapping["b"]
 
+    def test_two_segment_gb_binning_warns(self):
+        # cliff_repro6 pathology guard (VERDICT r4 #5): binning into 2-3
+        # GB-scale segments is a measured 12x-slow configuration; the
+        # binning must warn so capacity users don't land on it silently.
+        from monolith_tpu.embedding.table import packed_padded_width
+        row_bytes = packed_padded_width(
+            TableSpec("x", 1, (seg(),))) * 4
+        cap = (1 << 30) // row_bytes  # ~1 GiB per table
+        specs = [TableSpec(f"t{i}", cap, (seg(),)) for i in range(2)]
+        with pytest.warns(UserWarning, match="measured slow"):
+            merged, _, _ = merge_table_specs(
+                specs, [], max_group_bytes=int(1.3 * (1 << 30)))
+        assert len(merged) == 2  # the binning itself still happens
+
+    def test_many_segment_binning_does_not_warn(self):
+        # FOUR+ segments measured fast (cliff_repro6: 3.02 ms) -> no warning
+        import warnings as _w
+        from monolith_tpu.embedding.table import packed_padded_width
+        row_bytes = packed_padded_width(
+            TableSpec("x", 1, (seg(),))) * 4
+        cap = (1 << 30) // row_bytes
+        specs = [TableSpec(f"t{i}", cap, (seg(),)) for i in range(4)]
+        with _w.catch_warnings():
+            _w.simplefilter("error")
+            merged, _, _ = merge_table_specs(
+                specs, [], max_group_bytes=int(1.3 * (1 << 30)))
+        assert len(merged) == 4
+
+    def test_small_binning_does_not_warn(self):
+        # sub-GB segments are outside the measured-slow band -> no warning
+        import warnings as _w
+        specs = [TableSpec(f"t{i}", 1000, (seg(),)) for i in range(4)]
+        with _w.catch_warnings():
+            _w.simplefilter("error")
+            merged, _, _ = merge_table_specs(
+                specs, [], max_group_bytes=1000 * 32 * 2)
+        assert len(merged) >= 2
+
 
 class TestStochasticRounding:
     def test_unbiased_rounding(self):

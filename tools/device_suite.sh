@@ -1,19 +1,21 @@
 #!/bin/bash
-# Round-3 device measurement suite — run the moment the TPU tunnel is up.
+# Device measurement suite — run the moment the TPU tunnel is up.
 # One tunnel window harvests every open measurement (the tunnel has been
 # flaky for hours at a time, so everything is sequenced into one script
 # with per-step timeouts and all output persisted under /tmp/devsuite/).
 #
-#   bash tools/device_suite.sh            # full suite (~25 min)
-#   bash tools/device_suite.sh quick      # cliff repro + ms_ab2 only
+#   bash tools/device_suite.sh            # full suite (~30 min)
+#   bash tools/device_suite.sh quick      # probes + ms_ab2 only
 #
 # Order is priority order — if the tunnel dies mid-run, the most
 # decision-relevant numbers land first:
-#   1. cliff_repro5   — the >2GB Pallas DMA cliff minimal repro (VERDICT #2)
-#   2. ms_ab2         — {f32,bf16} x {pallas,xla} multislot A/B (VERDICT #1)
-#   3. bench multislot (f32 + bf16)  — driver-protocol numbers
-#   4. bench deepfm   — flagship + prod variant (metrics ON + mid-run ckpt,
-#                        VERDICT weak #3)
+#   1. h2d_probe      — wire bandwidth / parallel-stream scaling (r5 #3)
+#   2. ms_ab2         — {f32,bf16} x {pallas,xla} multislot A/B; the
+#                       bf16-pallas cell retests the MosaicError (r5 #4)
+#   3. bench multislot (f32 + bf16 + async)  — driver-protocol numbers
+#   4. bench deepfm   — flagship + prod variant (metrics ON + mid-run ckpt)
+#   5. serving_bench  — on-chip serving numbers (r5 #7)
+#   6. quality tail   — north-star AUC + reference parity on the chip
 set -u
 OUT=/tmp/devsuite
 mkdir -p "$OUT"
@@ -29,11 +31,22 @@ run() {  # run <name> <timeout_s> <cmd...>
   echo "--- $name exit=$? ---"
 }
 
+# Probe the TPU. With MT_SUITE_WAIT=1, loop until the tunnel comes up
+# (healthy windows are short and intermittent — launch the suite in wait
+# mode and it starts the moment a window opens, with no gap and no second
+# claimant: concurrent claims through the tunnel hang each other).
+probe() {
+  timeout 180 python -c "import jax; assert jax.devices()[0].platform in ('tpu','axon'), jax.devices()" 2>/dev/null
+}
 echo "probing TPU..."
-if ! timeout 180 python -c "import jax; assert jax.devices()[0].platform in ('tpu','axon'), jax.devices()"; then
-  echo "TPU unreachable; aborting"; exit 1
+if ! probe; then
+  if [ "${MT_SUITE_WAIT:-0}" = "1" ]; then
+    until probe; do echo "TPU down at $(date +%T); retrying..."; sleep 45; done
+  else
+    echo "TPU unreachable; aborting"; exit 1
+  fi
 fi
-echo "TPU OK"
+echo "TPU OK at $(date +%T)"
 
 # preflight: one tiny real train step end-to-end on the chip (~1 min incl.
 # compile) so a flaky window fails fast here, not 10 min into a bench
@@ -53,10 +66,9 @@ jax.block_until_ready(out["loss"])
 print("preflight OK on", jax.devices()[0].platform, float(out["loss"]))
 EOF
 
+run h2d_probe 900 python tools/h2d_probe.py
 run microbench 900 python tools/microbench.py
-run cliff_repro5 900 python tools/cliff_repro5.py
-run cliff_repro6 900 python tools/cliff_repro6.py
-run cliff_repro7 900 python tools/cliff_repro7.py
+run cliff_probe 1200 python tools/cliff_probe.py all
 run ms_ab2 1800 python tools/ms_ab2.py
 
 if [ "${1:-full}" = "quick" ]; then exit 0; fi
@@ -69,6 +81,9 @@ run bench_multislot_f32_async 900 env MT_BENCH_CONFIG=multislot MT_BENCH_ASYNC=1
 run bench_multislot_bf16_async 900 env MT_BENCH_CONFIG=multislot MT_BENCH_DTYPE=bf16 MT_BENCH_ASYNC=1 python bench.py
 run bench_deepfm 900 env MT_BENCH_CONFIG=deepfm python bench.py
 run bench_deepfm_prod 1200 env MT_BENCH_CONFIG=deepfm MT_BENCH_PROD=1 python bench.py
+# on-chip serving (VERDICT r4 #7): in-process + gRPC predict against an
+# exported model; includes one hot-swap latency measurement
+run serving_bench 1200 python tools/serving_bench.py
 # quality tail (round-4): north-star AUC on the chip + the reference
 # demo-model head-to-head (its TF twin runs on host CPU regardless)
 run bench_auc 1800 env MT_BENCH_CONFIG=auc python bench.py

@@ -106,6 +106,23 @@ def main(batch_size=512):
     total = C * per_client * batch_size
     record(f"predict_rpc_{C}clients_examples_per_sec", total / dt, "ex/s")
 
+    # 4. hot-swap latency (VERDICT r4 #7): train on, export v2, measure
+    # reload_export wall time (the version watcher's swap step — the
+    # window in which the replica serves the old version; requests are
+    # never dropped, the swap is an atomic model-state replace)
+    for _ in range(5):
+        fb, b = next(it)
+        trainer.train_step(fb, b)
+    path2 = export_model(trainer, out_dir)
+    t0 = time.perf_counter()
+    new_step = model.reload_export(path2)
+    dt = time.perf_counter() - t0
+    record("hot_swap_ms", dt * 1e3, "ms")
+    # the swapped model serves immediately
+    preds2 = np.asarray(client.predict(*reqs[0]))
+    assert preds2.shape[0] == batch_size and np.isfinite(preds2).all(), \
+        (new_step, preds2.shape)
+
     agent.stop()
     print(json.dumps({"backend": jax.default_backend(),
                       "batch_size": batch_size, **RESULTS}))
