@@ -46,20 +46,34 @@ from monolith_tpu.training.trainer import Trainer, TrainerConfig
 from monolith_tpu.embedding import table as table_lib
 
 
+def _shard_lookup_overlay(spec, st, tin, key):
+    """Per-shard packed gather + new-row init select (+ tiered revive).
+
+    Returns (packed rows, overlay): overlay is the init-select/revive
+    function applied to the gather — the pipelined (async_optimize) block
+    re-applies the SAME overlay (same init values) to its fresh re-gather
+    so newly admitted ids see identical init on both reads."""
+    rows = jnp.asarray(tin["rows"])[0]
+    mask = jnp.asarray(tin["new_mask"])[0]
+    def overlay(p):
+        ini = table_lib.init_packed(spec, key, rows.shape[0])
+        p = jnp.where((mask > 0)[:, None], ini, p)
+        if "revive_pos" in tin:
+            pos = jnp.asarray(tin["revive_pos"])[0]
+            vals = jnp.asarray(tin["revive_values"])[0]
+            safe = jnp.where(pos < 0, jnp.int32(p.shape[0]),
+                             pos.astype(jnp.int32))
+            full = jnp.zeros((vals.shape[0], p.shape[1]), jnp.float32
+                             ).at[:, :vals.shape[1]].set(vals)
+            p = p.at[safe].set(full, mode="drop", unique_indices=True)
+        return p
+
+    return overlay(table_lib.gather_packed(spec, st, rows)), overlay
+
+
 def _fused_shard_lookup(spec, st, tin, key):
     """Per-shard packed gather + new-row init select (+ tiered revive)."""
-    rows = jnp.asarray(tin["rows"])[0]
-    p = table_lib.gather_packed(spec, st, rows)
-    init = table_lib.init_packed(spec, key, rows.shape[0])
-    mask = jnp.asarray(tin["new_mask"])[0]
-    p = jnp.where((mask > 0)[:, None], init, p)
-    if "revive_pos" in tin:
-        pos = jnp.asarray(tin["revive_pos"])[0]
-        vals = jnp.asarray(tin["revive_values"])[0]
-        safe = jnp.where(pos < 0, jnp.int32(p.shape[0]), pos.astype(jnp.int32))
-        full = jnp.zeros((vals.shape[0], p.shape[1]), jnp.float32
-                         ).at[:, :vals.shape[1]].set(vals)
-        p = p.at[safe].set(full, mode="drop", unique_indices=True)
+    p, _ = _shard_lookup_overlay(spec, st, tin, key)
     return p
 
 
@@ -98,20 +112,34 @@ class ShardedTrainer(Trainer):
         U = cfg.engine.unique_cap
 
         def local_step(table_states, params, model_state, opt_state, inputs,
-                       batch, base_key, stepno):
+                       batch, base_key, stepno, pending=None):
             # Everything here is per-device: table_states arrays [1, cap, ...],
             # inputs rows [1, U], index/batch sharded on batch axis.
+            # pending (pipelined/async_optimize block only): step i-1's
+            # deferred write-back {table: (rows, packed_vals)} — see
+            # _build_step_block_sharded.
             my = jax.lax.axis_index(ax)
             key = jax.random.fold_in(jax.random.fold_in(base_key, stepno), my)
 
             # admit new rows into the local shard (+ tiered revive); packed
             # mode defers the write to the single end-of-step scatter
-            new_states, prows = {}, {}
-            for tname, tin in inputs.items():
+            new_states, prows, overlays = {}, {}, {}
+            for ti, (tname, tin) in enumerate(sorted(inputs.items())):
                 spec = specs[tname]
                 st = jax.tree.map(lambda x: x[0], table_states[tname])
                 if engine.packed:
-                    prows[tname] = _fused_shard_lookup(spec, st, tin, key)
+                    # stale gather FIRST (no data dependency on step i-1's
+                    # pending scatter, so XLA overlaps that scatter with
+                    # this step's fwd/bwd), THEN land the pending write-back
+                    prows[tname], overlays[tname] = _shard_lookup_overlay(
+                        spec, st, tin, key)
+                    if pending is not None:
+                        pr, pv = pending[tname]
+                        pkey = jax.random.fold_in(jax.random.fold_in(
+                            jax.random.fold_in(jax.random.PRNGKey(2),
+                                               stepno), ti), my)
+                        st = table_lib.scatter_packed(spec, st, pr, pv,
+                                                      key=pkey)
                 else:
                     nr = engine.new_rows_from(tin["rows"], tin)[0]
                     st = table_lib.init_rows(spec, st, nr, key)
@@ -165,12 +193,25 @@ class ShardedTrainer(Trainer):
             # sparse: reduce-scatter grads back to owning shards (bwd "alltoall");
             # divide by n to match global-mean loss semantics
             out_states = {}
+            new_pending = {}
             for ti, (tname, tin) in enumerate(sorted(inputs.items())):
                 spec = specs[tname]
                 g_all = gemb[tname].reshape(n, U, spec.dim)
                 g_local = jax.lax.psum_scatter(g_all, ax, scatter_dimension=0,
                                                tiled=False) / n
-                if engine.packed:
+                if pending is not None:
+                    # pipelined: re-gather the FRESH rows (step i-1's
+                    # write-back landed above) and optimize those — updates
+                    # are never lost; the stale rows the forward used feed
+                    # DC compensation (ref dc_optimizer.cc:30-44); defer
+                    # this step's scatter to step i+1
+                    p_latest = overlays[tname](table_lib.gather_packed(
+                        spec, new_states[tname], tin["rows"][0]))
+                    new_p = table_lib.optimize_packed(
+                        spec, p_latest, g_local, stepno, stale=prows[tname])
+                    new_pending[tname] = (tin["rows"][0], new_p)
+                    st = new_states[tname]
+                elif engine.packed:
                     new_p = table_lib.optimize_packed(spec, prows[tname],
                                                       g_local, stepno)
                     # per-(step, table, shard) key for stochastic bf16 store
@@ -187,6 +228,9 @@ class ShardedTrainer(Trainer):
                 out_states[tname] = jax.tree.map(lambda x: x[None], st)
 
             preds = task.predictions(out)
+            if pending is not None:
+                return (out_states, params, new_ms, opt_state, loss, preds,
+                        aux, new_pending)
             return out_states, params, new_ms, opt_state, loss, preds, aux
 
         self._local_step_raw = local_step
@@ -231,25 +275,71 @@ class ShardedTrainer(Trainer):
         depends on device values); the per-dispatch overhead and K-1 jit
         boundaries are eliminated. TPU-native form of the reference's
         pipelined sync training (ref prefetch_queue.py:291,
-        distributed_ps_sync.py:199,270,341,485)."""
+        distributed_ps_sync.py:199,270,341,485).
+
+        With EngineConfig(async_optimize=True) (packed tables) the scanned
+        step runs the 1-step-stale pipelined schedule (the partial-sync
+        mode, ref enable_partial_sync_training cpu_training.py:476,536 +
+        enable_async_optimize :488): the DENSE update stays synchronous
+        every step (pmean) while each step's sparse write-back scatter is
+        deferred one iteration so XLA overlaps it with the next step's
+        fwd/bwd; the last pending scatter lands after the scan. Numerics
+        differ from the synchronous block only for ids read in consecutive
+        steps (their forward saw 1-step-stale values)."""
+        pipelined = (self.config.engine.async_optimize and self.engine.packed)
         if self._local_step_raw is None:
             if self._jit_step is None:
                 self._jit_step = self._build_step()
         local_step = self._local_step_raw
         ax = self.axis
+        cfg = self.config
+
+        def zero_pending():
+            return {t: (jnp.full((cfg.engine.ucap(t),), -1, jnp.int32),
+                        jnp.zeros((cfg.engine.ucap(t),
+                                   table_lib.packed_padded_width(sp)),
+                                  jnp.float32))
+                    for t, sp in self.engine.tables.items()
+                    if self.engine.table_features[t]}
 
         def local_block(table_states, params, model_state, opt_state,
                         inputs_k, batch_k, base_key, step0):
             def body(carry, xs):
+                if pipelined:
+                    ts_, p_, ms_, os_, i, pend = carry
+                    inp, bat = xs
+                    (ts_, p_, ms_, os_, loss, preds, aux, pend
+                     ) = local_step(ts_, p_, ms_, os_, inp, bat, base_key,
+                                    step0 + i, pending=pend)
+                    return (ts_, p_, ms_, os_, i + jnp.int32(1), pend), (
+                        loss, preds, aux)
                 ts_, p_, ms_, os_, i = carry
                 inp, bat = xs
                 ts_, p_, ms_, os_, loss, preds, aux = local_step(
                     ts_, p_, ms_, os_, inp, bat, base_key, step0 + i)
                 return (ts_, p_, ms_, os_, i + jnp.int32(1)), (loss, preds,
                                                                aux)
+
+            carry = (table_states, params, model_state, opt_state,
+                     jnp.int32(0))
+            if pipelined:
+                carry = carry + (zero_pending(),)
+                (ts_, p_, ms_, os_, _, pend), (losses, preds, auxes) = \
+                    jax.lax.scan(body, carry, (inputs_k, batch_k))
+                # the final iteration's write-back lands after the scan
+                my = jax.lax.axis_index(ax)
+                for ti, tname in enumerate(sorted(pend)):
+                    spec = self.engine.tables[tname]
+                    pr, pv = pend[tname]
+                    pkey = jax.random.fold_in(jax.random.fold_in(
+                        jax.random.fold_in(jax.random.PRNGKey(2),
+                                           step0 + jnp.int32(K)), ti), my)
+                    st = jax.tree.map(lambda x: x[0], ts_[tname])
+                    st = table_lib.scatter_packed(spec, st, pr, pv, key=pkey)
+                    ts_[tname] = jax.tree.map(lambda x: x[None], st)
+                return ts_, p_, ms_, os_, losses, preds, auxes
             (ts_, p_, ms_, os_, _), (losses, preds, auxes) = jax.lax.scan(
-                body, (table_states, params, model_state, opt_state,
-                       jnp.int32(0)), (inputs_k, batch_k))
+                body, carry, (inputs_k, batch_k))
             return ts_, p_, ms_, os_, losses, preds, auxes
 
         state_specs = self._state_specs()
@@ -369,16 +459,26 @@ class ShardedTrainer(Trainer):
         cap = cfg.engine.effective_bucket_cap
 
         def local_step(table_states, params, model_state, opt_state, inputs,
-                       batch, base_key, stepno):
+                       batch, base_key, stepno, pending=None):
             my = jax.lax.axis_index(ax)
             key = jax.random.fold_in(jax.random.fold_in(base_key, stepno), my)
 
-            new_states, prows = {}, {}
-            for tname, tin in inputs.items():
+            new_states, prows, overlays = {}, {}, {}
+            for ti, (tname, tin) in enumerate(sorted(inputs.items())):
                 spec = specs[tname]
                 st = jax.tree.map(lambda x: x[0], table_states[tname])
                 if engine.packed:
-                    prows[tname] = _fused_shard_lookup(spec, st, tin, key)
+                    # pipelined: stale gather first, then land step i-1's
+                    # pending write-back (see the allgather local_step)
+                    prows[tname], overlays[tname] = _shard_lookup_overlay(
+                        spec, st, tin, key)
+                    if pending is not None:
+                        pr, pv = pending[tname]
+                        pkey = jax.random.fold_in(jax.random.fold_in(
+                            jax.random.fold_in(jax.random.PRNGKey(2),
+                                               stepno), ti), my)
+                        st = table_lib.scatter_packed(spec, st, pr, pv,
+                                                      key=pkey)
                 else:
                     nr = engine.new_rows_from(tin["rows"], tin)[0]
                     st = table_lib.init_rows(spec, st, nr, key)
@@ -436,12 +536,21 @@ class ShardedTrainer(Trainer):
             params = optax.apply_updates(params, updates)
 
             out_states = {}
+            new_pending = {}
             for ti, (tname, tin) in enumerate(sorted(inputs.items())):
                 spec = specs[tname]
                 # gu already holds the summed grads per local unique row
                 # (reverse a2a + scatter-add generated by autodiff); divide by
                 # n for global-mean loss semantics
-                if engine.packed:
+                if pending is not None:
+                    p_latest = overlays[tname](table_lib.gather_packed(
+                        spec, new_states[tname], tin["rows"][0]))
+                    new_p = table_lib.optimize_packed(
+                        spec, p_latest, gu[tname] / n, stepno,
+                        stale=prows[tname])
+                    new_pending[tname] = (tin["rows"][0], new_p)
+                    st = new_states[tname]
+                elif engine.packed:
                     new_p = table_lib.optimize_packed(spec, prows[tname],
                                                       gu[tname] / n, stepno)
                     # per-(step, table, shard) key for stochastic bf16 store
@@ -458,6 +567,9 @@ class ShardedTrainer(Trainer):
                 out_states[tname] = jax.tree.map(lambda x: x[None], st)
 
             preds = task.predictions(out)
+            if pending is not None:
+                return (out_states, params, new_ms, opt_state, loss, preds,
+                        aux, new_pending)
             return out_states, params, new_ms, opt_state, loss, preds, aux
 
         self._local_step_raw = local_step
